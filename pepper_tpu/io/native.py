@@ -1,0 +1,82 @@
+"""ctypes binding to libpepperio.so (built from io/_native on demand)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpepperio.so")
+
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    sources = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
+               if f.endswith((".cpp", ".h"))]
+    if not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in sources):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    c = ctypes
+    lib.pepper_bam_open.restype = c.c_void_p
+    lib.pepper_bam_open.argtypes = [c.c_char_p]
+    lib.pepper_bam_close.argtypes = [c.c_void_p]
+    lib.pepper_bam_n_targets.restype = c.c_int
+    lib.pepper_bam_n_targets.argtypes = [c.c_void_p]
+    lib.pepper_bam_target_name.restype = c.c_char_p
+    lib.pepper_bam_target_name.argtypes = [c.c_void_p, c.c_int]
+    lib.pepper_bam_target_len.restype = c.c_longlong
+    lib.pepper_bam_target_len.argtypes = [c.c_void_p, c.c_int]
+    lib.pepper_bam_get_reads.restype = c.c_void_p
+    lib.pepper_bam_get_reads.argtypes = [
+        c.c_void_p, c.c_char_p, c.c_longlong, c.c_longlong, c.c_int, c.c_int,
+        c.c_int]
+    lib.pepper_readbatch_free.argtypes = [c.c_void_p]
+    lib.pepper_rb_n_reads.restype = c.c_longlong
+    lib.pepper_rb_n_reads.argtypes = [c.c_void_p]
+    for name, restype in [
+        ("pos", c.POINTER(c.c_int64)), ("pos_end", c.POINTER(c.c_int64)),
+        ("mapq", c.POINTER(c.c_int32)), ("flag", c.POINTER(c.c_int32)),
+        ("hp", c.POINTER(c.c_int32)),
+        ("seq_offsets", c.POINTER(c.c_int64)), ("seq", c.POINTER(c.c_char)),
+        ("qual", c.POINTER(c.c_uint8)),
+        ("cigar_offsets", c.POINTER(c.c_int64)),
+        ("cigar_ops", c.POINTER(c.c_uint8)),
+        ("cigar_lens", c.POINTER(c.c_int32)),
+        ("name_offsets", c.POINTER(c.c_int64)),
+        ("names", c.POINTER(c.c_char)),
+    ]:
+        fn = getattr(lib, f"pepper_rb_{name}")
+        fn.restype = restype
+        fn.argtypes = [c.c_void_p]
+    for name in ("seq_size", "cigar_size", "names_size"):
+        fn = getattr(lib, f"pepper_rb_{name}")
+        fn.restype = c.c_longlong
+        fn.argtypes = [c.c_void_p]
+
+    lib.pepper_fasta_open.restype = c.c_void_p
+    lib.pepper_fasta_open.argtypes = [c.c_char_p]
+    lib.pepper_fasta_close.argtypes = [c.c_void_p]
+    lib.pepper_fasta_n_sequences.restype = c.c_int
+    lib.pepper_fasta_n_sequences.argtypes = [c.c_void_p]
+    lib.pepper_fasta_sequence_name.restype = c.c_char_p
+    lib.pepper_fasta_sequence_name.argtypes = [c.c_void_p, c.c_int]
+    lib.pepper_fasta_sequence_length.restype = c.c_longlong
+    lib.pepper_fasta_sequence_length.argtypes = [c.c_void_p, c.c_char_p]
+    lib.pepper_fasta_get_sequence.restype = c.c_longlong
+    lib.pepper_fasta_get_sequence.argtypes = [
+        c.c_void_p, c.c_char_p, c.c_longlong, c.c_longlong, c.c_char_p]
+
+    _lib = lib
+    return lib

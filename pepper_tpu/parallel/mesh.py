@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+The PEPPER workload is region-sharded data parallelism (the reference does
+it with ProcessPoolExecutor over HDF5 files, ImageGenerationUI.py:326-328 /
+predict_distributed_cpu.py:200-202).  On TPU the equivalent is one `data`
+mesh axis: window batches are sharded over it, model params are replicated,
+and training gradients are reduced with psum over the same axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the first n) local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a (B, ...) array batch-sharded over the data axis."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (e.g. model params) on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(array, multiple, axis=0):
+    """Pad axis 0 up to a multiple (needed to shard uneven batches)."""
+    n = array.shape[axis]
+    remainder = n % multiple
+    if remainder == 0:
+        return array, n
+    pad = multiple - remainder
+    widths = [(0, 0)] * array.ndim
+    widths[axis] = (0, pad)
+    return np.pad(array, widths), n

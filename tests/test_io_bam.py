@@ -1,0 +1,168 @@
+"""Round-trip and clipping-semantics tests for the native BAM/FASTA layer.
+
+The expected clipping behavior is the reference's BAM_handler.get_reads
+(bam_handler.cpp:115-451): reads are cut to the query window with rewritten
+CIGARs, inserts/soft-clips kept only when anchored inside the window."""
+
+import numpy as np
+import pytest
+
+from pepper_tpu.io.bam import BamReader, OP_DEL, OP_INS, OP_MATCH, OP_SOFT_CLIP
+from pepper_tpu.io.bam_writer import BamRecord, write_bam, write_fasta
+from pepper_tpu.io.fasta import FastaReader
+
+
+@pytest.fixture
+def ref_seq():
+    rng = np.random.RandomState(7)
+    return "".join("ACGT"[i] for i in rng.randint(0, 4, size=2000))
+
+
+@pytest.fixture
+def fasta_path(tmp_path, ref_seq):
+    path = str(tmp_path / "ref.fa")
+    write_fasta(path, {"chr1": ref_seq, "chr2": "ACGTACGTAA" * 10})
+    return path
+
+
+def make_read(name, pos, cigar, seq, mapq=60, flag=0, hp=None, qual=None):
+    return BamRecord(name=name, ref_id=0, pos=pos, mapq=mapq, cigar=cigar,
+                     seq=seq, qual=qual or [30] * len(seq), flag=flag, hp=hp)
+
+
+def test_fasta_reader(fasta_path, ref_seq):
+    fasta = FastaReader(fasta_path)
+    assert fasta.get_chromosome_names() == ["chr1", "chr2"]
+    assert fasta.get_chromosome_sequence_length("chr1") == 2000
+    assert fasta.get_reference_sequence("chr1", 0, 50) == ref_seq[:50]
+    assert fasta.get_reference_sequence("chr1", 117, 301) == ref_seq[117:301]
+    # spans line boundaries (line width 60)
+    assert fasta.get_reference_sequence("chr1", 55, 125) == ref_seq[55:125]
+    assert fasta.get_reference_sequence("chr2", 0, 4) == "ACGT"
+
+
+def test_bam_simple_roundtrip(tmp_path, fasta_path, ref_seq):
+    bam_path = str(tmp_path / "t.bam")
+    reads = [
+        make_read("r1", 100, "50M", ref_seq[100:150]),
+        make_read("r2", 120, "30M", ref_seq[120:150], flag=0x10, hp=2),
+    ]
+    write_bam(bam_path, [("chr1", 2000), ("chr2", 100)], reads)
+    bam = BamReader(bam_path)
+    assert bam.get_chromosome_names() == ["chr1", "chr2"]
+
+    batch = bam.get_reads("chr1", 0, 2000)
+    assert batch.n_reads == 2
+    assert batch.names == ["r1", "r2"]
+    assert batch.pos.tolist() == [100, 120]
+    assert batch.pos_end.tolist() == [150, 150]
+    assert batch.read_seq(0) == ref_seq[100:150]
+    assert batch.read_cigar(0) == [(OP_MATCH, 50)]
+    assert batch.is_reverse.tolist() == [False, True]
+    assert batch.hp.tolist() == [0, 2]
+    assert batch.read_quals(0).tolist() == [30] * 50
+
+
+def test_bam_filters(tmp_path, fasta_path, ref_seq):
+    bam_path = str(tmp_path / "t.bam")
+    reads = [
+        make_read("ok", 10, "20M", ref_seq[10:30]),
+        make_read("dup", 10, "20M", ref_seq[10:30], flag=0x400),
+        make_read("qcfail", 10, "20M", ref_seq[10:30], flag=0x200),
+        make_read("secondary", 10, "20M", ref_seq[10:30], flag=0x100),
+        make_read("suppl", 10, "20M", ref_seq[10:30], flag=0x800),
+        make_read("lowmapq", 10, "20M", ref_seq[10:30], mapq=3),
+    ]
+    write_bam(bam_path, [("chr1", 2000)], reads)
+    bam = BamReader(bam_path)
+
+    batch = bam.get_reads("chr1", 0, 100, include_supplementary=False,
+                          min_mapq=5)
+    assert batch.names == ["ok"]
+    batch = bam.get_reads("chr1", 0, 100, include_supplementary=True,
+                          min_mapq=0)
+    assert sorted(batch.names) == ["lowmapq", "ok", "suppl"]
+
+
+def test_bam_region_clipping(tmp_path, fasta_path, ref_seq):
+    bam_path = str(tmp_path / "t.bam")
+    # read spans 100..200; query window [120, 160]
+    reads = [make_read("r", 100, "100M", ref_seq[100:200])]
+    write_bam(bam_path, [("chr1", 2000)], reads)
+    bam = BamReader(bam_path)
+    batch = bam.get_reads("chr1", 120, 160)
+    assert batch.n_reads == 1
+    # left clip jumps to start; right clip allows pos<=stop (inclusive)
+    assert batch.pos[0] == 120
+    assert batch.pos_end[0] == 161
+    assert batch.read_seq(0) == ref_seq[120:161]
+    assert batch.read_cigar(0) == [(OP_MATCH, 41)]
+
+
+def test_bam_insert_and_softclip_anchoring(tmp_path, fasta_path, ref_seq):
+    bam_path = str(tmp_path / "t.bam")
+    # 5S 20M 3I 20M: insert at ref pos 120 (after 20 matches from 100)
+    seq = "AAAAA" + ref_seq[100:120] + "GGG" + ref_seq[120:140]
+    reads = [make_read("r", 100, "5S20M3I20M", seq)]
+    write_bam(bam_path, [("chr1", 2000)], reads)
+    bam = BamReader(bam_path)
+
+    # whole-window fetch: leading softclip dropped (no anchor yet)
+    batch = bam.get_reads("chr1", 0, 2000)
+    assert batch.read_cigar(0) == [(OP_MATCH, 20), (OP_INS, 3), (OP_MATCH, 20)]
+    assert batch.read_seq(0) == ref_seq[100:120] + "GGG" + ref_seq[120:140]
+
+    # window ends before the insert anchor: insert dropped
+    batch = bam.get_reads("chr1", 100, 115)
+    assert batch.read_cigar(0) == [(OP_MATCH, 16)]
+    assert batch.pos[0] == 100 and batch.pos_end[0] == 116
+
+    # window starting after insert position: insert at pos 120 not anchored
+    batch = bam.get_reads("chr1", 125, 2000)
+    assert batch.read_cigar(0) == [(OP_MATCH, 15)]
+    assert batch.read_seq(0) == ref_seq[125:140]
+
+
+def test_bam_deletion_clipping(tmp_path, fasta_path, ref_seq):
+    bam_path = str(tmp_path / "t.bam")
+    # 20M 5D 20M spanning 100..145
+    seq = ref_seq[100:120] + ref_seq[125:145]
+    reads = [make_read("r", 100, "20M5D20M", seq)]
+    write_bam(bam_path, [("chr1", 2000)], reads)
+    bam = BamReader(bam_path)
+
+    batch = bam.get_reads("chr1", 0, 2000)
+    assert batch.read_cigar(0) == [(OP_MATCH, 20), (OP_DEL, 5), (OP_MATCH, 20)]
+    assert batch.pos_end[0] == 145
+
+    # stop mid-deletion: deletion truncated at stop (pos<=stop inclusive)
+    batch = bam.get_reads("chr1", 100, 122)
+    assert batch.read_cigar(0) == [(OP_MATCH, 20), (OP_DEL, 3)]
+    assert batch.pos_end[0] == 123
+
+
+def test_bam_index_query_many_reads(tmp_path, fasta_path, ref_seq):
+    bam_path = str(tmp_path / "big.bam")
+    rng = np.random.RandomState(0)
+    reads = []
+    positions = sorted(rng.randint(0, 1900, size=500))
+    for i, pos in enumerate(positions):
+        length = min(int(rng.randint(20, 100)), 2000 - pos)
+        reads.append(make_read(f"r{i}", int(pos), f"{length}M",
+                               ref_seq[pos:pos + length]))
+    write_bam(bam_path, [("chr1", 2000)], reads)
+    bam = BamReader(bam_path)
+
+    batch = bam.get_reads("chr1", 500, 600)
+    # every read overlapping [500, 600) must appear
+    expected = [f"r{i}" for i, pos in enumerate(positions)
+                if pos < 600 and pos + min(99, 2000 - pos) > 400]
+    # verify against brute-force overlap on original records
+    names = set(batch.names)
+    for i, pos in enumerate(positions):
+        length = min(int(np.random.RandomState(0).randint(20, 100)), 2000 - pos)
+    for i, pos in enumerate(positions):
+        # recompute true length from the read we actually wrote
+        length = len(reads[i].seq)
+        overlaps = pos < 600 and pos + length > 500
+        assert (f"r{i}" in names) == overlaps, (i, pos, length)
