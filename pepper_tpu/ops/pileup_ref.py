@@ -1,0 +1,567 @@
+"""Golden (numpy/python) regional pileup summary encoder.
+
+This is a semantics-exact re-implementation of the reference's
+RegionalSummaryGenerator (pepper_variant/modules/cpp/region_summary.cpp) —
+including its quirks, which downstream candidate parity depends on:
+
+* GENERATE_INDELS is false in the live path (region_summary.h:50), so the
+  expanded (position, insert_index) coordinate system degenerates to one
+  column per reference base; the machinery is kept behind a flag.
+* The anchor base of an upcoming INS/DEL is counted in the coverage vector
+  but NOT in the fwd/rev coverage image rows 4/15 (region_summary.cpp:381-391).
+* Insert candidates re-add coverage for reads whose anchor base failed the
+  SNP base-quality gate (region_summary.cpp:452-454).
+* Deletes have no base-quality gate and decrement the image even when the
+  candidate string is over the 61-char SV cap (region_summary.cpp:497-511).
+* After accumulation only feature columns [11, 25) are clamped to +-125
+  (region_summary.cpp:648-653 with BASE_INDEX_START=11, BASE_INDEX_SIZE=14).
+* Candidate depth is clamped to 125 BEFORE the frequency ratio
+  (region_summary.cpp:682-689).
+* Alleles at one site are emitted in lexicographic candidate-string order
+  (std::set iteration, region_summary.cpp:670).
+
+The hot accumulation loop has a vectorized/TPU twin in ops/pileup_jax.py
+which is golden-tested against this implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.bam import (
+    OP_DEL, OP_EQUAL, OP_DIFF, OP_HARD_CLIP, OP_INS, OP_MATCH, OP_PAD,
+    OP_REF_SKIP, OP_SOFT_CLIP, ReadBatch,
+)
+from ..options import ImageOptions
+
+MAX_COLOR = ImageOptions.MAX_COLOR_VALUE
+MIN_COLOR = ImageOptions.MIN_COLOR_VALUE
+
+_BASE_LABELS = ImageOptions.DECODED_BASE_LABELS
+
+# variant types
+HOM_REF, SNP, INSERT, DELETE = 0, 1, 2, 3
+
+
+@dataclass
+class TruthRecord:
+    contig: str
+    pos_start: int
+    pos_end: int
+    ref: str
+    alt: str
+
+
+@dataclass
+class CandidateWindow:
+    contig: str
+    position: int
+    depth: int
+    candidates: list[str]
+    candidate_frequency: list[int]
+    image: np.ndarray  # (window_size+1, feature_size) int32
+    base_label: int = 0
+    type_label: int = 0
+
+
+def get_reference_feature_value(base: str) -> int:
+    """A/C/G/T/other -> 1..5 (region_summary.cpp:165-172)."""
+    base = base.upper()
+    return {"A": 1, "C": 2, "G": 3, "T": 4}.get(base, 5)
+
+
+_FEATURE_BY_BASE = {"A": 1, "C": 2, "G": 3, "T": 4, "I": 5, "D": 6}
+
+
+def get_feature_index(ref_base: str, base: str, is_reverse: bool) -> int:
+    """Feature column for an observed base (region_summary.cpp:201-230):
+    fwd block starts col 7, rev block col 18; -1 if ref base not ACGT."""
+    ref_base = ref_base.upper()
+    if ref_base not in "ACGT":
+        return -1
+    start = 18 if is_reverse else 7
+    return start + _FEATURE_BY_BASE.get(base.upper(), 7)
+
+
+def get_label_index(base_h1: str, base_h2: str) -> int:
+    """28-class base-pair label (region_summary.cpp:108-120)."""
+    base_h1, base_h2 = base_h1.upper(), base_h2.upper()
+    for i, pair in enumerate(_BASE_LABELS):
+        if base_h1 == pair[0] and base_h2 == pair[1]:
+            return i
+        if base_h2 == pair[0] and base_h1 == pair[1]:
+            return i
+    return 0
+
+
+_TYPE_PAIR_LABEL = {
+    (HOM_REF, HOM_REF): 0, (HOM_REF, SNP): 1, (HOM_REF, INSERT): 2,
+    (HOM_REF, DELETE): 3, (SNP, SNP): 4, (SNP, INSERT): 5, (SNP, DELETE): 6,
+    (INSERT, INSERT): 7, (INSERT, DELETE): 8, (DELETE, DELETE): 9,
+}
+
+
+def get_variant_type_label_index(type_h1: int, type_h2: int) -> int:
+    key = (min(type_h1, type_h2), max(type_h1, type_h2))
+    return _TYPE_PAIR_LABEL[key]
+
+
+def _truth_candidate_string(record: TruthRecord) -> str:
+    """Truth allele -> candidate-string form (region_summary.cpp:726-788)."""
+    ref, alt = record.ref, record.alt
+    if len(ref) > len(alt):
+        allele, other, type_digit = ref, alt, "3"
+    elif len(ref) < len(alt):
+        allele, other, type_digit = alt, ref, "2"
+    else:
+        allele, other, type_digit = alt, ref, "1"
+    if len(allele) > 1 and len(other) > 1:
+        min_length = min(len(allele), len(other))
+        allele = allele[: len(allele) - min_length + 1]
+    return type_digit + allele
+
+
+class RegionalSummary:
+    """Per-region pileup image + candidate generator."""
+
+    def __init__(self, contig: str, ref_start: int, ref_end: int,
+                 reference_sequence: str, generate_indels: bool = False):
+        self.contig = contig
+        self.ref_start = ref_start
+        self.ref_end = ref_end
+        self.reference_sequence = reference_sequence
+        self.generate_indels = generate_indels
+        n = ref_end - ref_start + 1
+        self.max_observed_insert = np.zeros(n, np.int64)
+        self.cumulative_observed_insert = np.zeros(n, np.int64)
+        self.total_observed_insert_bases = 0
+        self.positions: np.ndarray | None = None
+        self.index: np.ndarray | None = None
+        # training labels
+        self._labels_hp1 = None
+        self._labels_hp2 = None
+        self._type_hp1 = None
+        self._type_hp2 = None
+        self._hp1_truth: dict[int, list[TruthRecord]] = {}
+        self._hp2_truth: dict[int, list[TruthRecord]] = {}
+        self.labels = None
+        self.labels_variant_type = None
+
+    # ---- coordinate system -------------------------------------------------
+
+    def _observe_max_inserts(self, batch: ReadBatch) -> None:
+        if not self.generate_indels:
+            return
+        for r in range(batch.n_reads):
+            ref_position = int(batch.pos[r])
+            for op, length in batch.read_cigar(r):
+                if ref_position > self.ref_end:
+                    break
+                if op in (OP_MATCH, OP_EQUAL, OP_DIFF):
+                    skip = 0
+                    if ref_position < self.ref_start:
+                        skip = min(self.ref_start - ref_position, length)
+                        ref_position += skip
+                    ref_position += length - skip
+                elif op == OP_INS:
+                    anchor = ref_position - 1
+                    if self.ref_start <= anchor <= self.ref_end:
+                        i = anchor - self.ref_start
+                        self.max_observed_insert[i] = max(
+                            self.max_observed_insert[i], length)
+                elif op in (OP_REF_SKIP, OP_PAD, OP_DEL):
+                    ref_position += length
+                # soft/hard clips don't move the reference cursor
+
+    def generate_max_insert_summary(self, batch: ReadBatch) -> None:
+        """Build the expanded (position, insert_index) coordinate arrays
+        (region_summary.cpp:69-96)."""
+        self._observe_max_inserts(batch)
+        n = len(self.max_observed_insert)
+        self.cumulative_observed_insert[0] = 0
+        if n > 1:
+            self.cumulative_observed_insert[1:] = np.cumsum(
+                self.max_observed_insert[:-1])
+        self.total_observed_insert_bases = int(self.max_observed_insert.sum())
+
+        positions, index = [], []
+        for i in range(n):
+            positions.append(self.ref_start + i)
+            index.append(0)
+            for j in range(1, int(self.max_observed_insert[i]) + 1):
+                positions.append(self.ref_start + i)
+                index.append(j)
+        self.positions = np.asarray(positions, np.int64)
+        self.index = np.asarray(index, np.int32)
+
+    def _base_index(self, pos: int) -> int:
+        i = pos - self.ref_start
+        return int(i + self.cumulative_observed_insert[i])
+
+    # ---- truth labels (train mode) ----------------------------------------
+
+    def generate_labels(self, hap1_records: list[TruthRecord],
+                        hap2_records: list[TruthRecord]) -> None:
+        """Project truth VCF haplotype records onto region coordinates
+        (region_summary.cpp:234-334)."""
+        region_size = (self.ref_end - self.ref_start
+                       + self.total_observed_insert_bases + 1)
+        self._labels_hp1 = ["*"] * (region_size + 1)
+        self._labels_hp2 = ["*"] * (region_size + 1)
+        self._type_hp1 = [HOM_REF] * (region_size + 1)
+        self._type_hp2 = [HOM_REF] * (region_size + 1)
+        self._hp1_truth = {}
+        self._hp2_truth = {}
+
+        for pos in range(self.ref_start, self.ref_end + 1):
+            base_index = self._base_index(pos)
+            self._labels_hp1[base_index] = "R"
+            self._labels_hp2[base_index] = "R"
+
+        for records, labels, types, truth in (
+                (hap1_records, self._labels_hp1, self._type_hp1,
+                 self._hp1_truth),
+                (hap2_records, self._labels_hp2, self._type_hp2,
+                 self._hp2_truth)):
+            for record in records:
+                in_region = (self.ref_start <= record.pos_start
+                             <= self.ref_end)
+                if len(record.ref) > len(record.alt):
+                    if in_region:
+                        base_index = self._base_index(record.pos_start)
+                        types[base_index] = DELETE
+                        labels[base_index] = "#"
+                        truth.setdefault(base_index, []).append(record)
+                elif len(record.ref) < len(record.alt):
+                    if in_region:
+                        base_index = self._base_index(record.pos_start)
+                        types[base_index] = INSERT
+                        labels[base_index] = "*"
+                        truth.setdefault(base_index, []).append(record)
+                else:
+                    if in_region:
+                        base_index = self._base_index(record.pos_start)
+                        types[base_index] = SNP
+                        truth.setdefault(base_index, []).append(record)
+                    for pos in range(record.pos_start, record.pos_end):
+                        if self.ref_start <= pos <= self.ref_end:
+                            base_index = self._base_index(pos)
+                            ref_base = self.reference_sequence[
+                                pos - self.ref_start]
+                            alt_base = record.alt[pos - record.pos_start]
+                            labels[base_index] = ("R" if ref_base == alt_base
+                                                  else alt_base)
+
+    # ---- accumulation ------------------------------------------------------
+
+    def _populate_read(self, state, r: int, batch: ReadBatch,
+                       min_snp_baseq: float, min_indel_baseq: float) -> None:
+        """One read's scatter-accumulate walk
+        (region_summary.cpp:337-566)."""
+        (image, coverage, snp_count, insert_count, delete_count,
+         allele_map, allele_fwd, allele_rev) = state
+        seq_start = int(batch.seq_offsets[r])
+        seq = batch.seq[seq_start:int(batch.seq_offsets[r + 1])]
+        qual = batch.qual[seq_start:int(batch.seq_offsets[r + 1])]
+        cigar = batch.read_cigar(r)
+        is_reverse = bool(batch.is_reverse[r])
+        ref_seq = self.reference_sequence
+        ref_start, ref_end = self.ref_start, self.ref_end
+
+        read_index = 0
+        ref_position = int(batch.pos[r])
+
+        def record_allele(region_index: int, candidate: str) -> None:
+            alleles = allele_map[region_index]
+            if candidate in alleles:
+                alleles[candidate] += 1
+                if is_reverse:
+                    allele_rev[region_index][candidate] += 1
+                else:
+                    allele_fwd[region_index][candidate] += 1
+            else:
+                alleles[candidate] = 1
+                allele_fwd[region_index][candidate] = 0 if is_reverse else 1
+                allele_rev[region_index][candidate] = 1 if is_reverse else 0
+
+        n_ops = len(cigar)
+        for cigar_i, (op, length) in enumerate(cigar):
+            if ref_position > ref_end:
+                break
+            if op in (OP_MATCH, OP_EQUAL, OP_DIFF):
+                start_i = 0
+                if ref_position < ref_start:
+                    start_i = min(ref_start - ref_position, length)
+                    read_index += start_i
+                    ref_position += start_i
+                for i in range(start_i, length):
+                    base_quality = qual[read_index]
+                    if ref_start <= ref_position <= ref_end:
+                        base = chr(seq[read_index])
+                        ref_base = ref_seq[ref_position - ref_start]
+                        region_index = ref_position - ref_start
+                        base_index = self._base_index(ref_position)
+                        feature_index = get_feature_index(ref_base, base,
+                                                          is_reverse)
+                        if base_quality >= min_snp_baseq:
+                            coverage[region_index] += 1
+                            if i == length - 1 and cigar_i != n_ops - 1:
+                                next_op = cigar[cigar_i + 1][0]
+                                if next_op not in (OP_INS, OP_DEL):
+                                    image[base_index,
+                                          15 if is_reverse else 4] -= 1
+                            else:
+                                image[base_index,
+                                      15 if is_reverse else 4] -= 1
+                        if ref_base != base and base_quality >= min_snp_baseq:
+                            snp_count[region_index] += 1
+                            if feature_index >= 0:
+                                image[base_index, feature_index] -= 1
+                            record_allele(region_index, "1" + base)
+                        elif base_quality >= min_snp_baseq:
+                            if feature_index >= 0:
+                                image[base_index, feature_index] -= 1
+                    read_index += 1
+                    ref_position += 1
+            elif op == OP_INS:
+                anchor = ref_position - 1
+                if ref_start <= anchor <= ref_end and read_index - 1 >= 0:
+                    ref_base = ref_seq[anchor - ref_start]
+                    base_index = self._base_index(anchor)
+                    insert_feat = get_feature_index(ref_base, "I", is_reverse)
+                    alt = seq[read_index - 1:read_index + length].tobytes() \
+                        .decode()
+                    alt_len = length + 1
+                    start_index = read_index - 1
+                    base_quality = int(
+                        qual[start_index:start_index + alt_len]
+                        .astype(np.int64).sum())
+                    if (base_quality >= min_indel_baseq * alt_len
+                            and qual[start_index] < min_snp_baseq):
+                        coverage[anchor - ref_start] += 1
+                    candidate = "2" + alt
+                    if (len(candidate) <= 61
+                            and base_quality >= min_indel_baseq * alt_len):
+                        if insert_feat >= 0:
+                            image[base_index, insert_feat] -= 1
+                        insert_count[anchor - ref_start] += 1
+                        record_allele(anchor - ref_start, candidate)
+                read_index += length
+            elif op == OP_DEL:
+                anchor = ref_position - 1
+                if ref_start <= anchor <= ref_end:
+                    ref_base = ref_seq[anchor - ref_start]
+                    base_index = self._base_index(anchor)
+                    delete_feat = get_feature_index(ref_base, "D", is_reverse)
+                    if delete_feat >= 0:
+                        image[base_index, delete_feat] -= 1
+                    ref_allele = ref_seq[anchor - ref_start:
+                                         anchor - ref_start + length + 1]
+                    candidate = "3" + ref_allele
+                    if len(candidate) <= 61:
+                        delete_count[anchor - ref_start] += 1
+                        record_allele(anchor - ref_start, candidate)
+                for i in range(length):
+                    pos = ref_position + i
+                    if ref_start <= pos <= ref_end:
+                        base_index = self._base_index(pos)
+                        feature_index = get_feature_index(
+                            ref_seq[pos - ref_start], "*", is_reverse)
+                        if feature_index >= 0:
+                            image[base_index, feature_index] -= 1
+                ref_position += length
+            elif op in (OP_REF_SKIP, OP_PAD):
+                # NOTE: the reference's switch falls through to SOFT_CLIP
+                # here (region_summary.cpp:556-561), so the read cursor also
+                # advances — replicated deliberately.
+                ref_position += length
+                read_index += length
+            elif op == OP_SOFT_CLIP:
+                read_index += length
+            # hard clip: nothing
+
+    # ---- main entry --------------------------------------------------------
+
+    def generate_summary(self, batch: ReadBatch, *, min_snp_baseq: float,
+                         min_indel_baseq: float, snp_freq_threshold: float,
+                         insert_freq_threshold: float,
+                         delete_freq_threshold: float,
+                         min_coverage_threshold: float,
+                         snp_candidate_freq_threshold: float,
+                         indel_candidate_freq_threshold: float,
+                         candidate_support_threshold: float,
+                         skip_indels: bool,
+                         candidate_region_start: int,
+                         candidate_region_end: int,
+                         candidate_window_size: int = 32,
+                         feature_size: int = 26,
+                         train_mode: bool = False,
+                         ) -> list[CandidateWindow]:
+        """Accumulate the region image and emit per-candidate windows
+        (region_summary.cpp:568-916)."""
+        n_ref = self.ref_end - self.ref_start + 1
+        region_size = n_ref + self.total_observed_insert_bases
+
+        image = np.zeros((region_size + 1, feature_size), np.int64)
+        coverage = np.zeros(n_ref, np.int64)
+        snp_count = np.zeros(n_ref, np.int64)
+        insert_count = np.zeros(n_ref, np.int64)
+        delete_count = np.zeros(n_ref, np.int64)
+        allele_map = [dict() for _ in range(region_size + 1)]
+        allele_fwd = [dict() for _ in range(region_size + 1)]
+        allele_rev = [dict() for _ in range(region_size + 1)]
+
+        # reference channel 0 (region_summary.cpp:174-190)
+        for pos in range(self.ref_start, self.ref_end + 1):
+            value = get_reference_feature_value(
+                self.reference_sequence[pos - self.ref_start])
+            base_index = self._base_index(pos)
+            image[base_index, 0] = value
+            for j in range(1,
+                           int(self.max_observed_insert[pos - self.ref_start])
+                           + 1):
+                image[base_index + j, 0] = value
+
+        state = (image, coverage, snp_count, insert_count, delete_count,
+                 allele_map, allele_fwd, allele_rev)
+        for r in range(batch.n_reads):
+            if batch.mapq[r] > 0:
+                self._populate_read(state, r, batch, min_snp_baseq,
+                                    min_indel_baseq)
+
+        # per-position frequency gates (region_summary.cpp:634-654)
+        filtered_positions = []
+        snp_pass = np.zeros(n_ref, bool)
+        insert_pass = np.zeros(n_ref, bool)
+        delete_pass = np.zeros(n_ref, bool)
+        for i in range(region_size):
+            pos = int(self.positions[i])
+            region_index = pos - self.ref_start
+            denom = max(1.0, float(coverage[region_index]))
+            snp_fraction = snp_count[region_index] / denom
+            insert_fraction = insert_count[region_index] / denom
+            delete_fraction = delete_count[region_index] / denom
+            if (snp_fraction >= snp_freq_threshold
+                    or insert_fraction >= insert_freq_threshold
+                    or delete_fraction >= delete_freq_threshold):
+                if (candidate_region_start <= pos <= candidate_region_end
+                        and coverage[region_index] >= min_coverage_threshold):
+                    filtered_positions.append(pos)
+                    if snp_fraction >= snp_freq_threshold:
+                        snp_pass[region_index] = True
+                    if insert_fraction >= insert_freq_threshold:
+                        insert_pass[region_index] = True
+                    if delete_fraction >= delete_freq_threshold:
+                        delete_pass[region_index] = True
+
+        # clamp only columns [11, 25) over the first region_size rows
+        cs, ce = ImageOptions.CLAMP_COL_START, ImageOptions.CLAMP_COL_END
+        np.clip(image[:region_size, cs:ce], MIN_COLOR, MAX_COLOR,
+                out=image[:region_size, cs:ce])
+
+        self.labels = np.zeros(region_size + 1, np.uint16)
+        self.labels_variant_type = np.zeros(region_size + 1, np.uint16)
+        if train_mode and self._labels_hp1 is not None:
+            for i in range(len(self._labels_hp1)):
+                self.labels[i] = get_label_index(self._labels_hp1[i],
+                                                 self._labels_hp2[i])
+                self.labels_variant_type[i] = get_variant_type_label_index(
+                    self._type_hp1[i], self._type_hp2[i])
+
+        windows: list[CandidateWindow] = []
+        half = candidate_window_size // 2
+        for pos in filtered_positions:
+            region_index = pos - self.ref_start
+            depth = int(min(coverage[region_index], MAX_COLOR))
+            ref_base = self.reference_sequence[region_index]
+            base_index = self._base_index(pos)
+            for candidate in sorted(allele_map[region_index].keys()):
+                allele_depth = allele_map[region_index][candidate]
+                depth_fwd = allele_fwd[region_index][candidate]
+                depth_rev = allele_rev[region_index][candidate]
+                frequency = allele_depth / max(1.0, float(depth))
+                type_digit = candidate[0]
+                if allele_depth < candidate_support_threshold:
+                    continue
+                if (type_digit != "1"
+                        and frequency < indel_candidate_freq_threshold):
+                    continue
+                if (type_digit == "1"
+                        and frequency < snp_candidate_freq_threshold):
+                    continue
+                if type_digit != "1" and skip_indels:
+                    continue
+                if ((type_digit == "1" and not snp_pass[region_index])
+                        or (type_digit == "2" and not insert_pass[region_index])
+                        or (type_digit == "3"
+                            and not delete_pass[region_index])):
+                    continue
+
+                base_label, type_label = 0, 0
+                if train_mode:
+                    truth_strings_h1 = [
+                        _truth_candidate_string(t)
+                        for t in self._hp1_truth.get(base_index, [])]
+                    truth_strings_h2 = [
+                        _truth_candidate_string(t)
+                        for t in self._hp2_truth.get(base_index, [])]
+                    found_h1 = candidate in truth_strings_h1
+                    found_h2 = candidate in truth_strings_h2
+                    type_label = (2 if (found_h1 and found_h2)
+                                  else 1 if (found_h1 or found_h2) else 0)
+                    base_label = int(self.labels[base_index])
+
+                window = np.zeros((candidate_window_size + 1, feature_size),
+                                  np.int64)
+                lo = base_index - half
+                for i in range(lo, base_index + half + 1):
+                    if 0 <= i <= region_size:
+                        window[i - lo] = image[i]
+
+                mid = half
+                freq_clamped = min(allele_depth, MAX_COLOR)
+                if type_digit == "1":
+                    fwd_i = get_feature_index(ref_base, candidate[1], False)
+                    rev_i = get_feature_index(ref_base, candidate[1], True)
+                    window[mid, 1] = get_reference_feature_value(candidate[1])
+                    window[mid, 5] = min(depth_fwd, MAX_COLOR)
+                    window[mid, 16] = min(depth_rev, MAX_COLOR)
+                    window[mid, fwd_i] = -window[mid, fwd_i]
+                    window[mid, rev_i] = -window[mid, rev_i]
+                elif type_digit == "2":
+                    fwd_i = get_feature_index(ref_base, "I", False)
+                    rev_i = get_feature_index(ref_base, "I", True)
+                    window[mid, 2] = min(len(candidate) - 1, MAX_COLOR)
+                    window[mid, 6] = min(depth_fwd, MAX_COLOR)
+                    window[mid, 17] = min(depth_rev, MAX_COLOR)
+                    window[mid, fwd_i] = -window[mid, fwd_i]
+                    window[mid, rev_i] = -window[mid, rev_i]
+                else:
+                    del_len = len(candidate) - 1
+                    end_index = min(mid + del_len - 1,
+                                    candidate_window_size - 1)
+                    fwd_i = get_feature_index(ref_base, "D", False)
+                    rev_i = get_feature_index(ref_base, "D", True)
+                    window[mid, 3] = min(del_len, MAX_COLOR)
+                    window[mid, 7] = min(depth_fwd, MAX_COLOR)
+                    window[mid, 18] = min(depth_rev, MAX_COLOR)
+                    window[mid, fwd_i] = -window[mid, fwd_i]
+                    window[mid, rev_i] = -window[mid, rev_i]
+                    star_fwd = get_feature_index(ref_base, "*", False)
+                    star_rev = get_feature_index(ref_base, "*", True)
+                    for idx in range(mid + 1, end_index + 1):
+                        window[idx, 3] = min(del_len, MAX_COLOR)
+                        window[idx, 7] = min(depth_fwd, MAX_COLOR)
+                        window[idx, 18] = min(depth_rev, MAX_COLOR)
+                        window[idx, star_fwd] = -window[idx, star_fwd]
+                        window[idx, star_rev] = -window[idx, star_rev]
+
+                windows.append(CandidateWindow(
+                    contig=self.contig, position=pos, depth=depth,
+                    candidates=[candidate],
+                    candidate_frequency=[freq_clamped],
+                    image=window.astype(np.int32),
+                    base_label=base_label, type_label=type_label))
+        return windows
