@@ -1,0 +1,192 @@
+"""Post-prediction candidate decoding.
+
+Semantics-exact re-implementation of the reference's CandidateFinder.py
+(small_chunk_stitch :356-529 and find_candidates :532-581): homopolymer
+repeat annotation of +-10bp reference context, argmax genotyping, per-type
+p-value gates with low-complexity overrides and VAF-based overrides, and
+the positional dedup + sort that makes multi-worker decode deterministic.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+ACGT = ("A", "C", "G", "T")
+
+
+@dataclass
+class CandidatePrediction:
+    """One classified candidate window (CandidateImagePrediction
+    equivalent, region_summary.h:114-136)."""
+
+    contig: str
+    position: int
+    depth: int
+    candidates: list[str]
+    candidate_frequency: list[int]
+    prediction_base: np.ndarray      # (3,) float probabilities
+
+
+def repeat_annotation(sequence: str, kmer_size: int) -> list[int]:
+    """Per-base max k-mer repeat counts (CandidateFinder.py:279-297)."""
+    max_observed = [1] * len(sequence)
+    for i in range(len(sequence) - (kmer_size - 1)):
+        kmer_count = 0
+        end_index = i + (kmer_size - 1)
+        for j in range(i, len(sequence), kmer_size):
+            if sequence[i:i + kmer_size] == sequence[j:j + kmer_size]:
+                kmer_count += 1
+            else:
+                break
+            end_index = j + kmer_size
+        for k in range(i, min(len(sequence), end_index)):
+            max_observed[k] = max(max_observed[k], kmer_count)
+    return max_observed
+
+
+def candidate_in_homopolymer(fasta, contig: str, position: int) -> bool:
+    """In-repeat <=> homopolymer run >= 5 within the +-(5,4) neighborhood
+    (CandidateFinder.py:393-416)."""
+    upstream = fasta.get_reference_sequence(contig, position,
+                                            position + 10).upper()
+    downstream = fasta.get_reference_sequence(contig, max(0, position - 10),
+                                              position).upper()
+    full_sequence = downstream + upstream
+    repeats = repeat_annotation(full_sequence, 1)
+    position_index = len(downstream)
+    upward = min(len(repeats), position_index + 4)
+    downward = max(0, position_index - 5)
+    return max(repeats[downward:upward]) >= 5
+
+
+def _valid_allele(allele: str) -> bool:
+    return all(base in ACGT for base in allele.upper())
+
+
+def decode_predictions(options, predictions, fasta):
+    """Turn classified candidates into Margin (SNP-only) and DeepVariant
+    (re-genotyping) candidate lists (CandidateFinder.py:391-529)."""
+    margin_list = []
+    deepvariant_list = []
+    for candidate in predictions:
+        reference_base = fasta.get_reference_sequence(
+            candidate.contig, candidate.position,
+            candidate.position + 1).upper()
+        in_repeat = candidate_in_homopolymer(fasta, candidate.contig,
+                                             candidate.position)
+        if reference_base not in ACGT:
+            continue
+
+        prediction_base = np.asarray(candidate.prediction_base, np.float64)
+        predicted_genotype = int(np.argmax(prediction_base))
+        genotype = ([0, 0], [0, 1], [1, 1])[predicted_genotype]
+        prediction_value = float(prediction_base[predicted_genotype])
+
+        # ---- Margin (phasing) list: SNPs only ----
+        alt_alleles, supports = [], []
+        for alt_allele, frequency in zip(candidate.candidates,
+                                         candidate.candidate_frequency):
+            alt_type, allele = alt_allele[0], alt_allele[1:]
+            if not _valid_allele(allele):
+                continue
+            if alt_type == "1" and predicted_genotype != 0:
+                alt_alleles.append(allele)
+                supports.append(frequency)
+        if alt_alleles:
+            margin_list.append((
+                candidate.contig, candidate.position, candidate.position + 1,
+                reference_base, alt_alleles, genotype, candidate.depth,
+                supports, prediction_value, prediction_base))
+
+        # ---- DeepVariant (re-genotyping) list ----
+        alt_alleles, supports = [], []
+        reference_allele = reference_base
+        non_alt_predictions = []
+        non_alt = float(max(prediction_base[1], prediction_base[2]))
+        for alt_allele, frequency in zip(candidate.candidates,
+                                         candidate.candidate_frequency):
+            alt_type, allele = alt_allele[0], alt_allele[1:]
+            if not _valid_allele(allele):
+                continue
+            vaf = float(frequency) / float(candidate.depth)
+            non_alt_predictions.append(non_alt)
+            if alt_type == "1":
+                if not in_repeat and non_alt >= options.snp_p_value:
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+                elif in_repeat and non_alt >= options.snp_p_value_in_lc:
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+                elif 0 < options.report_snp_above_freq <= vaf:
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+            elif alt_type == "2":
+                if not in_repeat and non_alt >= options.insert_p_value:
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+                elif in_repeat and non_alt >= options.insert_p_value_in_lc:
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+                elif 0 < options.report_indel_above_freq <= vaf:
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+            elif alt_type == "3":
+                if not in_repeat and non_alt >= options.delete_p_value:
+                    alt_alleles.append(reference_allele)
+                    reference_allele = allele
+                    supports.append(frequency)
+                elif in_repeat and non_alt >= options.delete_p_value_in_lc:
+                    alt_alleles.append(reference_allele)
+                    reference_allele = allele
+                    supports.append(frequency)
+                elif 0 < options.report_indel_above_freq <= vaf:
+                    # quirk preserved: the VAF-override path appends the
+                    # deleted ref sequence as the alt (CandidateFinder.py:518-520)
+                    alt_alleles.append(allele)
+                    supports.append(frequency)
+        if alt_alleles:
+            deepvariant_list.append((
+                candidate.contig, candidate.position,
+                candidate.position + len(reference_allele), reference_allele,
+                alt_alleles, genotype, candidate.depth, supports,
+                prediction_value, prediction_base, non_alt_predictions,
+                in_repeat))
+
+    return margin_list, deepvariant_list
+
+
+def find_candidates(margin_candidates, deepvariant_candidates):
+    """Deterministic merge: global sort + positional (ref, alt) dedup
+    (CandidateFinder.py:549-581)."""
+    margin_candidates = sorted(margin_candidates,
+                               key=lambda x: (x[0], x[1]))
+    deepvariant_candidates = sorted(deepvariant_candidates,
+                                    key=lambda x: (x[0], x[1]))
+
+    margin_dict = defaultdict(list)
+    margin_alts = defaultdict(list)
+    for candidate in margin_candidates:
+        key = (candidate[0], candidate[1])
+        ref_alt = (candidate[3], candidate[4][0])
+        if ref_alt in margin_alts[key]:
+            continue
+        margin_alts[key].append(ref_alt)
+        margin_dict[key].append(candidate)
+
+    contigs = []
+    dv_dict = defaultdict(list)
+    dv_alts = defaultdict(list)
+    for candidate in deepvariant_candidates:
+        if candidate[0] not in contigs:
+            contigs.append(candidate[0])
+        key = (candidate[0], candidate[1])
+        ref_alt = (candidate[3], candidate[4][0])
+        if ref_alt in dv_alts[key]:
+            continue
+        dv_alts[key].append(ref_alt)
+        dv_dict[key].append(candidate)
+
+    return contigs, margin_dict, dv_dict

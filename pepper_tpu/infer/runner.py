@@ -1,0 +1,78 @@
+"""Batched jit inference over candidate windows.
+
+The reference fans HDF5 files over ONNX sessions in worker processes
+(predict_distributed_cpu.py:35-99); here windows stream in-process into
+fixed-size padded batches through one jitted forward on the accelerator —
+one compilation, MXU-sized batches, no inter-stage files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..decode.candidate_finder import CandidatePrediction
+from ..models.transducer import transducer_infer
+from ..options import ImageOptions
+
+
+class InferenceRunner:
+    def __init__(self, params, batch_size: int = 512,
+                 compute_dtype: str = "float32",
+                 window: int = ImageOptions.CANDIDATE_WINDOW_SIZE + 1,
+                 features: int = ImageOptions.IMAGE_HEIGHT):
+        import jax.numpy as jnp
+
+        self.params = params
+        self.batch_size = batch_size
+        self.window = window
+        self.features = features
+        self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                              else jnp.float32)
+
+    def predict_images(self, images: np.ndarray) -> np.ndarray:
+        """(N, window, features) -> (N, 3) float probabilities; pads the
+        batch to a fixed shape so jit compiles once."""
+        n = len(images)
+        if n == 0:
+            return np.zeros((0, 3), np.float32)
+        probs_out = np.zeros((n, 3), np.float32)
+        for start in range(0, n, self.batch_size):
+            chunk = images[start:start + self.batch_size]
+            padded = np.zeros((self.batch_size, self.window, self.features),
+                              np.float32)
+            padded[:len(chunk)] = chunk
+            probs = np.asarray(
+                transducer_infer(self.params, padded, self.compute_dtype))
+            probs_out[start:start + len(chunk)] = probs[:len(chunk)]
+        return probs_out
+
+    def predict(self, windows) -> list[CandidatePrediction]:
+        """CandidateWindow list -> CandidatePrediction list."""
+        if not windows:
+            return []
+        images = np.stack([w.image for w in windows]).astype(np.float32)
+        probs = self.predict_images(images)
+        return [
+            CandidatePrediction(
+                contig=w.contig, position=w.position, depth=w.depth,
+                candidates=list(w.candidates),
+                candidate_frequency=list(w.candidate_frequency),
+                prediction_base=probs[i])
+            for i, w in enumerate(windows)
+        ]
+
+
+def fake_predict(windows) -> list[CandidatePrediction]:
+    """Ground-truth passthrough backend (the reference's --dry mode,
+    predict_distributed_cpu_fake.py:12-51 + one-hot labels from
+    dataloader.py:156-165): predictions are the one-hot type labels."""
+    predictions = []
+    for w in windows:
+        probs = np.zeros(3, np.float64)
+        probs[int(w.type_label)] = 1.0
+        predictions.append(CandidatePrediction(
+            contig=w.contig, position=w.position, depth=w.depth,
+            candidates=list(w.candidates),
+            candidate_frequency=list(w.candidate_frequency),
+            prediction_base=probs))
+    return predictions

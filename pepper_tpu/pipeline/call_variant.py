@@ -1,0 +1,109 @@
+"""End-to-end variant calling driver.
+
+The reference runs three filesystem-separated stages (CallVariant.py:84-104:
+make_images -> run_inference -> find_candidates, HDF5 between each).  The
+TPU-native happy path streams in-process: per-region windows feed padded
+batches straight into the jitted classifier, and predictions flow into the
+decoder — no intermediate files.  make_images/run_inference/find_candidates
+stay available as standalone subcommands with HDF5 compatibility.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import time
+
+from ..decode.candidate_finder import decode_predictions, find_candidates
+from ..decode.vcf_writer import VCFWriter
+from ..infer.runner import InferenceRunner, fake_predict
+from ..io.bam import BamReader
+from ..io.fasta import FastaReader
+from .regions import build_intervals, get_chromosome_list, log_info
+from .summarizer import create_region_summary
+
+
+def _interval_worker(args):
+    """Worker (one process): generate windows for a slice of intervals."""
+    options, intervals, bed_list = args
+    bam_handler = BamReader(options.bam)
+    fasta_handler = FastaReader(options.fasta)
+    results = []
+    for contig, start, end in intervals:
+        windows = create_region_summary(options, bam_handler, fasta_handler,
+                                        contig, start, end, bed_list)
+        if windows:
+            results.extend(windows)
+    return results
+
+
+def generate_windows(options, intervals, bed_list, threads: int = 1):
+    """Region-sharded window generation (process-parallel like the
+    reference's ImageGenerationUI.py:326-328, but returning in-memory
+    windows)."""
+    if threads <= 1 or len(intervals) <= 1:
+        return _interval_worker((options, intervals, bed_list))
+    shards = [(options, intervals[i::threads], bed_list)
+              for i in range(threads)]
+    all_windows = []
+    with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as pool:
+        for result in pool.map(_interval_worker, shards):
+            all_windows.extend(result)
+    return all_windows
+
+
+def call_variant(options, params=None):
+    """Full pipeline: windows -> model -> candidates -> 5 VCFs.
+
+    params: transducer param pytree (None + options.dry uses the label
+    passthrough backend)."""
+    start_time = time.time()
+    os.makedirs(options.output_dir, exist_ok=True)
+
+    bam_handler = BamReader(options.bam)
+    fasta_handler = FastaReader(options.fasta)
+
+    chr_list, bed_list = get_chromosome_list(options.region, fasta_handler,
+                                             bam_handler,
+                                             options.region_bed)
+    intervals, total_bases = build_intervals(chr_list, fasta_handler,
+                                             options.region_size,
+                                             options.train_mode)
+    log_info(f"TOTAL CONTIGS: {len(chr_list)} TOTAL INTERVALS: "
+             f"{len(intervals)} TOTAL BASES: {total_bases}")
+
+    windows = generate_windows(options, intervals, bed_list, options.threads)
+    log_info(f"TOTAL CANDIDATE WINDOWS: {len(windows)}")
+
+    if options.dry:
+        predictions = fake_predict(windows)
+    else:
+        runner = InferenceRunner(params, batch_size=options.batch_size)
+        predictions = runner.predict(windows)
+    log_info("FINISHED PREDICTION")
+
+    margin_list, deepvariant_list = decode_predictions(options, predictions,
+                                                       fasta_handler)
+    contigs, margin_dict, dv_dict = find_candidates(margin_list,
+                                                    deepvariant_list)
+
+    writer = VCFWriter(contigs, fasta_handler, options.sample_name,
+                       options.output_dir, "PEPPER_VARIANT_FULL",
+                       "PEPPER_VARIANT_OUTPUT_PEPPER",
+                       "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING")
+    totals = writer.write_vcf_records(dv_dict, options)
+    writer.close()
+
+    (total, total_pepper, total_vc, total_snp, total_indel) = totals
+    log_info(f"FINISHED PROCESSING, TOTAL CANDIDATES FOUND: {total}")
+    log_info(f"FINISHED PROCESSING, TOTAL VARIANTS IN PEPPER: {total_pepper}")
+    log_info("FINISHED PROCESSING, TOTAL VARIANTS SELECTED FOR "
+             f"RE-GENOTYPING: {total_vc}")
+    log_info("FINISHED PROCESSING, TOTAL SNP VARIANTS SELECTED FOR "
+             f"RE-GENOTYPING: {total_snp}")
+    log_info("FINISHED PROCESSING, TOTAL INDEL VARIANTS SELECTED FOR "
+             f"RE-GENOTYPING: {total_indel}")
+    elapsed = time.time() - start_time
+    log_info(f"TOTAL ELAPSED TIME: {int(elapsed / 60)} Min "
+             f"{int(elapsed) % 60} Sec")
+    return totals
