@@ -1,0 +1,241 @@
+"""pepper_tpu command-line interface.
+
+Mirrors the reference's subcommand surface (pepper_variant.py:37-97 and
+pepper_variant_train.py:306-356) so quickstart commands translate 1:1:
+  call_variant, make_images, run_inference, find_candidates, merge_variants,
+  make_train_images, train_model, test_model, polish.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..options import PepperOptions
+from ..presets import set_parameters
+
+
+def _add_common_io(parser, need_model=False):
+    parser.add_argument("-b", "--bam", required=False, default="",
+                        help="Alignment BAM file (indexed).")
+    parser.add_argument("-f", "--fasta", required=False, default="",
+                        help="Reference FASTA file (faidx indexed).")
+    parser.add_argument("-o", "--output_dir", default="./output",
+                        help="Output directory.")
+    parser.add_argument("-t", "--threads", type=int, default=1)
+    parser.add_argument("-s", "--sample_name", default="Sample")
+    if need_model:
+        parser.add_argument("-m", "--model_path", default="",
+                            help="Model checkpoint (.npz native or torch .pkl)")
+
+
+def _add_region_args(parser):
+    parser.add_argument("-r", "--region", default=None,
+                        help="Region like chr20 or chr20:1000-2000 or chr1-22")
+    parser.add_argument("--region_size", type=int, default=100000)
+    parser.add_argument("--region_bed", default=None)
+
+
+def _add_image_args(parser):
+    parser.add_argument("--min_mapq", type=int, default=None)
+    parser.add_argument("--min_snp_baseq", type=int, default=None)
+    parser.add_argument("--min_indel_baseq", type=int, default=None)
+    parser.add_argument("--snp_frequency", type=float, default=None)
+    parser.add_argument("--insert_frequency", type=float, default=None)
+    parser.add_argument("--delete_frequency", type=float, default=None)
+    parser.add_argument("--min_coverage_threshold", type=float, default=None)
+    parser.add_argument("--candidate_support_threshold", type=float,
+                        default=None)
+    parser.add_argument("--snp_candidate_frequency_threshold", type=float,
+                        default=None)
+    parser.add_argument("--indel_candidate_frequency_threshold", type=float,
+                        default=None)
+    parser.add_argument("--skip_indels", action="store_true", default=False)
+    parser.add_argument("--downsample_rate", type=float, default=1.0)
+    parser.add_argument("--include_supplementary", action="store_true",
+                        default=False)
+    parser.add_argument("--use_hp_info", action="store_true", default=False)
+
+
+def _add_inference_args(parser):
+    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--num_workers", type=int, default=0)
+    parser.add_argument("--dry", action="store_true", default=False,
+                        help="Label-passthrough backend (pipeline test).")
+    parser.add_argument("--compute_dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+
+
+def _add_candidate_args(parser):
+    parser.add_argument("--allowed_multiallelics", type=int, default=None)
+    for name in ("snp_p_value", "insert_p_value", "delete_p_value",
+                 "snp_p_value_in_lc", "insert_p_value_in_lc",
+                 "delete_p_value_in_lc", "snp_q_cutoff", "indel_q_cutoff",
+                 "snp_q_cutoff_in_lc", "indel_q_cutoff_in_lc",
+                 "report_snp_above_freq", "report_indel_above_freq"):
+        parser.add_argument(f"--{name}", type=float, default=None)
+    parser.add_argument("--freq_based", action="store_true", default=False)
+    parser.add_argument("--freq", type=float, default=0.10)
+
+
+def _add_preset_args(parser):
+    for name in ("ont_r9_guppy5_sup", "ont_r9_guppy4_hac", "ont_r10_q20",
+                 "hifi", "clr"):
+        parser.add_argument(f"--{name}", action="store_true", default=False)
+
+
+def _add_train_args(parser):
+    parser.add_argument("--truth_vcf", default=None)
+    parser.add_argument("--random_draw_probability", type=float, default=0.33)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--step_size", type=int, default=100)
+    parser.add_argument("--retrain_model", action="store_true", default=False)
+    parser.add_argument("--retrain_model_path", default=None)
+    parser.add_argument("--test_file", default=None)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="pepper_tpu",
+        description="TPU-native PEPPER: RNN-based variant calling and "
+                    "assembly polishing for long reads.")
+    sub = parser.add_subparsers(dest="sub_command")
+
+    p = sub.add_parser("call_variant", help="Run the full variant-calling "
+                       "pipeline (images -> inference -> VCF).")
+    _add_common_io(p, need_model=True)
+    _add_region_args(p)
+    _add_image_args(p)
+    _add_inference_args(p)
+    _add_candidate_args(p)
+    _add_preset_args(p)
+
+    p = sub.add_parser("make_images", help="Generate candidate images.")
+    _add_common_io(p)
+    _add_region_args(p)
+    _add_image_args(p)
+    _add_preset_args(p)
+
+    p = sub.add_parser("run_inference", help="Classify stored images.")
+    _add_common_io(p, need_model=True)
+    p.add_argument("-i", "--image_dir", required=True)
+    _add_inference_args(p)
+    p.add_argument("--use_hp_info", action="store_true", default=False)
+
+    p = sub.add_parser("find_candidates", help="Decode predictions to VCFs.")
+    _add_common_io(p)
+    p.add_argument("-i", "--input_dir", required=True)
+    _add_candidate_args(p)
+    _add_preset_args(p)
+    p.add_argument("--use_hp_info", action="store_true", default=False)
+
+    p = sub.add_parser("merge_variants", help="Merge PEPPER + DeepVariant "
+                       "VCFs.")
+    p.add_argument("-vp", "--vcf_pepper", required=True)
+    p.add_argument("-vd", "--vcf_deepvariant", default=None)
+    p.add_argument("-vds", "--vcf_deepvariant_snps", default=None)
+    p.add_argument("-vdi", "--vcf_deepvariant_indels", default=None)
+    p.add_argument("-o", "--output_dir", default="./output")
+
+    p = sub.add_parser("make_train_images", help="Generate labeled images.")
+    _add_common_io(p)
+    _add_region_args(p)
+    _add_image_args(p)
+    _add_preset_args(p)
+    _add_train_args(p)
+
+    p = sub.add_parser("train_model", help="Train the window classifier.")
+    _add_common_io(p, need_model=True)
+    p.add_argument("-i", "--image_dir", required=True)
+    _add_inference_args(p)
+    _add_train_args(p)
+    p.add_argument("--use_hp_info", action="store_true", default=False)
+
+    p = sub.add_parser("test_model", help="Evaluate a model on labeled "
+                       "images.")
+    _add_common_io(p, need_model=True)
+    p.add_argument("-i", "--image_dir", required=True)
+    _add_inference_args(p)
+    p.add_argument("--use_hp_info", action="store_true", default=False)
+
+    p = sub.add_parser("version")
+    return parser
+
+
+def options_from_args(args) -> PepperOptions:
+    options = PepperOptions()
+    for key, value in vars(args).items():
+        if hasattr(options, key):
+            setattr(options, key, value)
+    options.sub_command = args.sub_command
+    return options
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.sub_command is None:
+        parser.print_help()
+        return 1
+    if args.sub_command == "version":
+        from .. import __version__
+
+        print(f"pepper_tpu {__version__}")
+        return 0
+
+    if args.sub_command == "merge_variants":
+        from ..decode.merge_variants import merge_vcf_records
+
+        merge_vcf_records(args)
+        return 0
+
+    options = options_from_args(args)
+    options = set_parameters(options)
+
+    if args.sub_command in ("call_variant",):
+        from ..pipeline.call_variant import call_variant
+
+        params = None
+        if not options.dry:
+            from ..models.checkpoint import load_params
+
+            params, _ = load_params(options.model_path)
+        call_variant(options, params=params)
+    elif args.sub_command in ("make_images", "make_train_images"):
+        from ..pipeline.stages import make_images
+
+        options.train_mode = args.sub_command == "make_train_images"
+        make_images(options, options.output_dir)
+    elif args.sub_command == "run_inference":
+        from ..pipeline.stages import run_inference
+
+        params = None
+        if not options.dry:
+            from ..models.checkpoint import load_params
+
+            params, _ = load_params(options.model_path)
+        run_inference(options, args.image_dir, options.output_dir,
+                      params=params)
+    elif args.sub_command == "find_candidates":
+        from ..pipeline.stages import process_candidates
+
+        process_candidates(options, args.input_dir, options.output_dir)
+    elif args.sub_command == "train_model":
+        from ..train.trainer import train_model
+
+        train_model(options, args.image_dir, options.output_dir,
+                    epochs=args.epochs, learning_rate=args.learning_rate,
+                    weight_decay=args.weight_decay, step_size=args.step_size,
+                    retrain_model_path=args.retrain_model_path,
+                    test_file=args.test_file)
+    elif args.sub_command == "test_model":
+        from ..train.trainer import test_model
+
+        test_model(options, args.image_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

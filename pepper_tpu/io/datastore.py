@@ -1,0 +1,164 @@
+"""HDF5 inter-stage stores, layout-compatible with the reference
+(DataStore.py:54-99, DataStorePredict.py:49-98) so make_images /
+run_inference / find_candidates interoperate as standalone subcommands.
+The in-process pipeline bypasses these on the happy path."""
+
+from __future__ import annotations
+
+import ast
+
+import h5py
+import numpy as np
+
+
+class ImageStore:
+    """summaries/<name>/{contigs,positions,depths,candidates,
+    candidate_frequency,images[,base_labels,type_label]}"""
+
+    def __init__(self, filename: str, mode: str = "r"):
+        self.filename = filename
+        self.file_handler = h5py.File(filename, mode)
+        self._names: set[str] = set()
+
+    def close(self):
+        self.file_handler.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+    def write_summary(self, summary_name: str, windows, train_mode: bool):
+        if summary_name in self._names or not windows:
+            return
+        self._names.add(summary_name)
+        grp = f"summaries/{summary_name}"
+        dt = h5py.special_dtype(vlen=str)
+        fh = self.file_handler
+        fh[f"{grp}/contigs"] = np.array([w.contig for w in windows],
+                                        dtype="S")
+        fh[f"{grp}/positions"] = np.array([w.position for w in windows],
+                                          np.int32)
+        fh[f"{grp}/depths"] = np.array([w.depth for w in windows], np.uint8)
+        fh[f"{grp}/candidates"] = np.array(
+            [str(w.candidates) for w in windows], dtype=dt)
+        fh[f"{grp}/candidate_frequency"] = np.array(
+            [str(w.candidate_frequency) for w in windows], dtype=dt)
+        fh[f"{grp}/images"] = np.array([w.image for w in windows], np.int8)
+        if train_mode:
+            fh[f"{grp}/base_labels"] = np.array(
+                [w.base_label for w in windows], np.uint8)
+            fh[f"{grp}/type_label"] = np.array(
+                [w.type_label for w in windows], np.uint8)
+
+    def summary_names(self):
+        if "summaries" not in self.file_handler:
+            return []
+        return list(self.file_handler["summaries"].keys())
+
+    def read_summary(self, summary_name: str, train_mode: bool = False):
+        from ..ops.pileup_ref import CandidateWindow
+
+        grp = self.file_handler[f"summaries/{summary_name}"]
+        contigs = [c.decode() for c in grp["contigs"][()]]
+        positions = grp["positions"][()]
+        depths = grp["depths"][()]
+        candidates = [_parse_str_list(c) for c in grp["candidates"][()]]
+        frequencies = [_parse_int_list(c)
+                       for c in grp["candidate_frequency"][()]]
+        images = grp["images"][()]
+        base_labels = (grp["base_labels"][()] if "base_labels" in grp
+                       else np.zeros(len(contigs), np.uint8))
+        type_labels = (grp["type_label"][()] if "type_label" in grp
+                       else np.zeros(len(contigs), np.uint8))
+        return [
+            CandidateWindow(
+                contig=contigs[i], position=int(positions[i]),
+                depth=int(depths[i]), candidates=candidates[i],
+                candidate_frequency=frequencies[i],
+                image=images[i].astype(np.int32),
+                base_label=int(base_labels[i]),
+                type_label=int(type_labels[i]))
+            for i in range(len(contigs))
+        ]
+
+
+def _parse_str_list(value) -> list[str]:
+    """Reference-style parse of a stringified candidate list
+    (CandidateFinder.py:374-377)."""
+    if isinstance(value, bytes):
+        value = value.decode()
+    parsed = ast.literal_eval(value)
+    return [str(x) for x in parsed]
+
+
+def _parse_int_list(value) -> list[int]:
+    if isinstance(value, bytes):
+        value = value.decode()
+    return [int(x) for x in ast.literal_eval(value)]
+
+
+class PredictionStore:
+    """predictions/batch_<n>/{contigs,positions,depths,candidates,
+    candidate_frequency,base_prediction}"""
+
+    def __init__(self, filename: str, mode: str = "r"):
+        self.filename = filename
+        self.file_handler = h5py.File(filename, mode)
+        self._names: set[str] = set()
+
+    def close(self):
+        self.file_handler.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+    def write_prediction(self, batch_no: int, predictions):
+        name = f"batch_{batch_no}"
+        if name in self._names or not predictions:
+            return
+        self._names.add(name)
+        grp = f"predictions/{name}"
+        dt = h5py.special_dtype(vlen=str)
+        fh = self.file_handler
+        fh[f"{grp}/contigs"] = np.array([p.contig for p in predictions],
+                                        dtype="S")
+        fh[f"{grp}/positions"] = np.array([p.position for p in predictions],
+                                          np.int32)
+        fh[f"{grp}/depths"] = np.array([p.depth for p in predictions],
+                                       np.uint8)
+        fh[f"{grp}/candidates"] = np.array(
+            [str(p.candidates) for p in predictions], dtype=dt)
+        fh[f"{grp}/candidate_frequency"] = np.array(
+            [str(p.candidate_frequency) for p in predictions], dtype=dt)
+        fh[f"{grp}/base_prediction"] = np.array(
+            [p.prediction_base for p in predictions], np.float64)
+
+    def batch_names(self):
+        if "predictions" not in self.file_handler:
+            return []
+        return list(self.file_handler["predictions"].keys())
+
+    def read_batch(self, name: str):
+        from ..decode.candidate_finder import CandidatePrediction
+
+        grp = self.file_handler[f"predictions/{name}"]
+        contigs = [c.decode() for c in grp["contigs"][()]]
+        positions = grp["positions"][()]
+        depths = grp["depths"][()]
+        candidates = [_parse_str_list(c) for c in grp["candidates"][()]]
+        frequencies = [_parse_int_list(c)
+                       for c in grp["candidate_frequency"][()]]
+        base_predictions = grp["base_prediction"][()]
+        return [
+            CandidatePrediction(
+                contig=contigs[i], position=int(positions[i]),
+                depth=int(depths[i]), candidates=candidates[i],
+                candidate_frequency=frequencies[i],
+                prediction_base=base_predictions[i])
+            for i in range(len(contigs))
+        ]

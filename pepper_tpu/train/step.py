@@ -5,12 +5,12 @@ train_distributed.py:107-168): Adam, CrossEntropyLoss with sum reduction
 over the 3 type classes, periodic confusion-matrix eval.  Parallelism is
 jit-over-Mesh: params replicated, batch sharded on the `data` axis; XLA
 inserts the gradient all-reduce (the reference's DDP/gloo equivalent,
-pepper/modules/python/models/train_distributed.py:254-258).
+pepper/modules/python/models/train_distributed.py:254-258).  Batches are
+padded to a multiple of the device count; a {0,1} mask keeps pad rows out
+of the loss and the confusion matrix.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,69 +19,75 @@ import optax
 from ..models.transducer import transducer_logits
 
 
-def cross_entropy_sum(logits, labels):
+def cross_entropy_sum(logits, labels, mask=None):
     """torch.nn.CrossEntropyLoss(reduction='sum') equivalent."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    per_example = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if mask is not None:
+        per_example = per_example * mask
+    return jnp.sum(per_example)
 
 
-def make_train_step(optimizer: optax.GradientTransformation,
-                    mesh=None, dropout_rate=0.2):
-    """Returns jitted (params, opt_state, batch, rng) -> (params, opt_state,
-    metrics). If mesh is given, shard the batch over its data axis."""
+def _shardings(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def loss_fn(params, images, labels, rng):
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
+def make_train_step(optimizer: optax.GradientTransformation, mesh=None,
+                    dropout_rate=0.2):
+    """Returns jitted (params, opt_state, images, labels, rng, mask) ->
+    (params, opt_state, metrics)."""
+
+    def loss_fn(params, images, labels, mask, rng):
         logits = transducer_logits(params, images, train=True,
                                    dropout_rate=dropout_rate, rng=rng)
-        loss = cross_entropy_sum(logits, labels)
-        correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
+        loss = cross_entropy_sum(logits, labels, mask)
+        correct = jnp.sum(
+            (jnp.argmax(logits, axis=-1) == labels) * mask)
         return loss, correct
 
-    def step(params, opt_state, images, labels, rng):
+    def step(params, opt_state, images, labels, rng, mask):
         (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels, rng)
+            params, images, labels, mask, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, "correct": correct,
-                   "count": jnp.asarray(labels.shape[0], jnp.int32)}
+                   "count": jnp.sum(mask)}
         return params, opt_state, metrics
 
     if mesh is None:
         return jax.jit(step)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
+    replicated, batch_sharded = _shardings(mesh)
     return jax.jit(
         step,
         in_shardings=(replicated, replicated, batch_sharded, batch_sharded,
-                      replicated),
+                      replicated, batch_sharded),
         out_shardings=(replicated, replicated, replicated),
     )
 
 
 def make_eval_step(num_classes=3, mesh=None):
-    """Returns jitted (params, images, labels) -> (loss, confusion_matrix).
+    """Returns jitted (params, images, labels, mask) ->
+    (loss, confusion_matrix).
 
     Confusion matrix accumulation mirrors torchnet's ConfusionMeter usage in
     the reference evaluator (models/test.py:35-108)."""
 
-    def step(params, images, labels):
+    def step(params, images, labels, mask):
         logits = transducer_logits(params, images, train=False)
-        loss = cross_entropy_sum(logits, labels)
+        loss = cross_entropy_sum(logits, labels, mask)
         preds = jnp.argmax(logits, axis=-1)
         confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
-        confusion = confusion.at[labels, preds].add(1)
+        confusion = confusion.at[labels, preds].add(mask.astype(jnp.int32))
         return loss, confusion
 
     if mesh is None:
         return jax.jit(step)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
+    replicated, batch_sharded = _shardings(mesh)
     return jax.jit(step,
-                   in_shardings=(replicated, batch_sharded, batch_sharded),
+                   in_shardings=(replicated, batch_sharded, batch_sharded,
+                                 batch_sharded),
                    out_shardings=(replicated, replicated))
