@@ -7,6 +7,13 @@ model (bi-LSTM window classifier, 33x26 inputs -> 3-class probs), the same
 quantity the reference reports from its inference stage logs
 (predict_distributed_cpu.py:215-219: elapsed time over total windows).
 
+Methodology: N distinct batches are classified inside ONE jitted dispatch
+(lax.scan with per-iteration input perturbation), and only a scalar
+checksum is fetched — this defeats any execution caching in the device
+transport and amortizes dispatch latency, so the number is real sustained
+model throughput.  Two scan lengths are timed and the marginal rate is
+reported (fixed dispatch overhead subtracted).
+
 vs_baseline: the reference has no published windows/s number (BASELINE.md),
 so we compare against a measured torch-CPU run of the equivalent model in
 this same process when available, else report 0.
@@ -16,37 +23,54 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.5")
 
 
-def bench_jax(batch=2048, iters=20, warmup=3, compute_dtype="bfloat16"):
+def bench_jax(batch=4096, n_short=10, n_long=50, compute_dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from pepper_tpu.models.transducer import (
-        TransducerConfig, init_transducer_params, transducer_infer)
+        TransducerConfig, init_transducer_params, transducer_apply)
 
     config = TransducerConfig()
-    params = init_transducer_params(jax.random.PRNGKey(0), config)
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    params = init_transducer_params(jax.random.PRNGKey(0), config, dtype)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randint(-125, 126,
                                 size=(batch, config.window,
-                                      config.image_features)),
-                    jnp.float32)
-    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+                                      config.image_features)), dtype)
 
-    for _ in range(warmup):
-        out = transducer_infer(params, x, dtype)
-    jax.block_until_ready(out)
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(params, x, iters):
+        def body(acc, i):
+            # perturb the input so every iteration is a distinct execution
+            xi = x + i.astype(x.dtype)
+            probs = transducer_apply(params, xi)
+            return acc + jnp.sum(probs.astype(jnp.float32)), ()
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = transducer_infer(params, x, dtype)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-    return batch * iters / elapsed
+        total, _ = jax.lax.scan(body, jnp.float32(0.),
+                                jnp.arange(iters, dtype=jnp.int32))
+        return total
+
+    def timed(iters):
+        float(run(params, x, iters))  # compile warmup
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            float(run(params, x, iters))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t_short = timed(n_short)
+    t_long = timed(n_long)
+    marginal = (t_long - t_short) / (n_long - n_short)
+    if marginal <= 0:  # degenerate timing; fall back to raw long-run rate
+        return batch * n_long / t_long
+    return batch / marginal
 
 
 def bench_torch_cpu(batch=512, iters=3):

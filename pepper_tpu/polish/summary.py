@@ -1,0 +1,284 @@
+"""Polish-mode pileup summary: 10-channel normalized base-frequency images.
+
+Semantics-exact to the reference's SummaryGenerator
+(pepper/modules/src/pileup_summary/summary_generator.cpp):
+
+* feature index (summary_generator.cpp:16-32): reverse strand A/C/G/T ->
+  0..3, forward strand -> 4..7; '*'/other: reverse -> 8, forward -> 9.
+* pixel = count / max(1, coverage[pos]) * 254, uint8 truncation
+  (generate_image, :274-306).  NOTE coverage of insert columns divides by
+  the anchor position's coverage.
+* coverage counts match bases AND (quirk) deletions add coverage at the
+  DELETION ANCHOR position for every deleted base (:107-110 adds to
+  coverage[ref_position] inside the per-i loop, not ref_position+i).
+* labels: 0 for */# (deleted), 1..4 ACGT (get_labels, :35-44); truth from a
+  realigned truth read; insert labels padded with '#'
+  (generate_labels, :142-216).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.bam import (
+    OP_DEL, OP_DIFF, OP_EQUAL, OP_HARD_CLIP, OP_INS, OP_MATCH, OP_PAD,
+    OP_REF_SKIP, OP_SOFT_CLIP, ReadBatch,
+)
+from ..options import PolishImageOptions
+
+MAX_COLOR = 254.0
+
+
+def get_feature_index(base: str, is_reverse: bool) -> int:
+    base = base.upper()
+    table = {"A": 0, "C": 1, "G": 2, "T": 3}
+    if is_reverse:
+        return table.get(base, 8)
+    return table.get(base, 9) + (4 if base in table else 0)
+
+
+def get_label(base: str) -> int:
+    return {"A": 1, "C": 2, "G": 3, "T": 4}.get(base.upper(), 0)
+
+
+@dataclass
+class PolishSummary:
+    """Accumulates base/insert summaries for one region, then renders the
+    (expanded_length, 10) uint8 image."""
+
+    reference_sequence: str
+    chromosome_name: str
+    ref_start: int
+    ref_end: int
+
+    base_summaries: dict = field(default_factory=lambda: defaultdict(float))
+    insert_summaries: dict = field(default_factory=lambda: defaultdict(float))
+    coverage: dict = field(default_factory=lambda: defaultdict(float))
+    longest_insert_count: dict = field(
+        default_factory=lambda: defaultdict(int))
+    base_labels: dict = field(default_factory=dict)
+    insert_labels: dict = field(default_factory=dict)
+
+    image: list = field(default_factory=list)
+    labels: list = field(default_factory=list)
+    genomic_pos: list = field(default_factory=list)
+    bad_label_positions: list = field(default_factory=list)
+
+    def _iterate_over_read(self, batch: ReadBatch, r: int,
+                           region_end: int) -> None:
+        seq_start = int(batch.seq_offsets[r])
+        seq = batch.seq[seq_start:int(batch.seq_offsets[r + 1])]
+        is_reverse = bool(batch.is_reverse[r])
+        read_index = 0
+        ref_position = int(batch.pos[r])
+        for op, length in batch.read_cigar(r):
+            if ref_position > region_end:
+                break
+            if op in (OP_MATCH, OP_EQUAL, OP_DIFF):
+                start_i = 0
+                if ref_position < self.ref_start:
+                    start_i = min(self.ref_start - ref_position, length)
+                    read_index += start_i
+                    ref_position += start_i
+                for _ in range(start_i, length):
+                    if self.ref_start <= ref_position <= self.ref_end:
+                        base = chr(seq[read_index])
+                        self.base_summaries[
+                            (ref_position,
+                             get_feature_index(base, is_reverse))] += 1.0
+                        self.coverage[ref_position] += 1.0
+                    read_index += 1
+                    ref_position += 1
+            elif op == OP_INS:
+                anchor = ref_position - 1
+                if self.ref_start <= anchor <= self.ref_end:
+                    alt = seq[read_index:read_index + length].tobytes() \
+                        .decode()
+                    for i, base in enumerate(alt):
+                        self.insert_summaries[
+                            ((anchor, i),
+                             get_feature_index(base, is_reverse))] += 1.0
+                    self.longest_insert_count[anchor] = max(
+                        self.longest_insert_count[anchor], len(alt))
+                read_index += length
+            elif op in (OP_REF_SKIP, OP_PAD, OP_DEL):
+                for i in range(length):
+                    if (self.ref_start <= ref_position + i <= self.ref_end):
+                        self.base_summaries[
+                            (ref_position + i,
+                             get_feature_index("*", is_reverse))] += 1.0
+                        # reference quirk: coverage goes to the anchor
+                        self.coverage[ref_position] += 1.0
+                ref_position += length
+            elif op == OP_SOFT_CLIP:
+                read_index += length
+            # hard clip: nothing
+
+    def _generate_labels(self, batch: ReadBatch, r: int,
+                         region_end: int) -> None:
+        """Project the realigned truth read onto labels
+        (generate_labels, summary_generator.cpp:142-216)."""
+        seq_start = int(batch.seq_offsets[r])
+        seq = batch.seq[seq_start:int(batch.seq_offsets[r + 1])]
+        read_index = 0
+        ref_position = int(batch.pos[r])
+        for op, length in batch.read_cigar(r):
+            if ref_position > region_end:
+                break
+            if op in (OP_MATCH, OP_EQUAL, OP_DIFF):
+                start_i = 0
+                if ref_position < self.ref_start:
+                    start_i = min(self.ref_start - ref_position, length)
+                    read_index += start_i
+                    ref_position += start_i
+                for _ in range(start_i, length):
+                    if self.ref_start <= ref_position <= self.ref_end:
+                        self.base_labels[ref_position] = chr(seq[read_index])
+                    read_index += 1
+                    ref_position += 1
+            elif op == OP_INS:
+                anchor = ref_position - 1
+                if self.ref_start <= anchor <= self.ref_end:
+                    alt = seq[read_index:read_index + length].tobytes() \
+                        .decode()
+                    for i in range(self.longest_insert_count[anchor]):
+                        base = alt[i] if i < len(alt) else "#"
+                        self.insert_labels[(anchor, i)] = base
+                read_index += length
+            elif op in (OP_REF_SKIP, OP_PAD, OP_DEL):
+                if self.ref_start <= ref_position <= self.ref_end:
+                    for i in range(length):
+                        if (self.ref_start <= ref_position + i
+                                <= self.ref_end):
+                            self.base_labels[ref_position + i] = "*"
+                ref_position += length
+            elif op == OP_SOFT_CLIP:
+                read_index += length
+
+    def _generate_image(self) -> None:
+        for pos in range(self.ref_start, self.ref_end + 1):
+            denom = max(1.0, self.coverage[pos])
+            row = [
+                np.uint8(self.base_summaries[(pos, j)] / denom * MAX_COLOR)
+                for j in range(10)
+            ]
+            self.image.append(row)
+            for ii in range(self.longest_insert_count[pos]):
+                self.image.append([
+                    np.uint8(self.insert_summaries[((pos, ii), j)] / denom
+                             * MAX_COLOR)
+                    for j in range(10)
+                ])
+
+    def generate_summary(self, batch: ReadBatch) -> None:
+        """Inference-mode summary (generate_summary, :361-387)."""
+        for r in range(batch.n_reads):
+            if batch.mapq[r] > 0:
+                self._iterate_over_read(batch, r, self.ref_end)
+        for pos in range(self.ref_start, self.ref_end + 1):
+            self.genomic_pos.append((pos, 0))
+            for ii in range(self.longest_insert_count[pos]):
+                self.genomic_pos.append((pos, ii + 1))
+        self._generate_image()
+
+    def generate_train_summary(self, batch: ReadBatch,
+                               truth_batch: ReadBatch,
+                               truth_index: int) -> None:
+        """Train-mode summary with labels from one realigned truth read
+        (generate_train_summary, :293-358)."""
+        for r in range(batch.n_reads):
+            if batch.mapq[r] > 0:
+                self._iterate_over_read(batch, r, self.ref_end)
+        self._generate_labels(truth_batch, truth_index, self.ref_end + 1)
+
+        def valid_label(base: str) -> bool:
+            return base.upper() in "ACGT*#"
+
+        for pos in range(self.ref_start, self.ref_end + 1):
+            base = self.base_labels.get(pos, "\0")
+            if self.coverage[pos] > 0:
+                self.labels.append(get_label(base))
+            else:
+                self.labels.append(get_label("*"))
+            if not valid_label(base):
+                self.bad_label_positions.append(len(self.labels))
+            self.genomic_pos.append((pos, 0))
+            for ii in range(self.longest_insert_count[pos]):
+                self.genomic_pos.append((pos, ii + 1))
+                if (pos, ii) in self.insert_labels:
+                    insert_base = self.insert_labels[(pos, ii)]
+                    self.labels.append(get_label(insert_base))
+                    if not valid_label(insert_base):
+                        self.bad_label_positions.append(len(self.labels))
+                else:
+                    self.labels.append(get_label("#"))
+        self.bad_label_positions.append(len(self.labels))
+        self._generate_image()
+
+
+def chunk_images(summary: PolishSummary, chunk_size: int = 1000,
+                 chunk_overlap: int = 50):
+    """Inference chunking (pepper AlignmentSummarizer.py:18-56): 1000-col
+    chunks sliding by chunk_size - overlap, zero-padded at the tail."""
+    height = PolishImageOptions.IMAGE_HEIGHT
+    chunk_start = 0
+    chunk_id = 0
+    n = len(summary.genomic_pos)
+    chunk_end = min(n, chunk_size)
+    images, labels, positions, chunk_ids = [], [], [], []
+    while True:
+        image_chunk = list(summary.image[chunk_start:chunk_end])
+        pos_chunk = list(summary.genomic_pos[chunk_start:chunk_end])
+        label_chunk = [0] * (chunk_end - chunk_start)
+        padding = chunk_size - len(image_chunk)
+        if padding > 0:
+            label_chunk += [0] * padding
+            pos_chunk += [(-1, -1)] * padding
+            image_chunk += [[0] * height] * padding
+        images.append(np.asarray(image_chunk, np.uint8))
+        labels.append(np.asarray(label_chunk, np.uint8))
+        positions.append(np.asarray(pos_chunk, np.int64))
+        chunk_ids.append(chunk_id)
+        chunk_id += 1
+        if chunk_end == n:
+            break
+        chunk_start = chunk_end - chunk_overlap
+        chunk_end = min(n, chunk_start + chunk_size)
+    return images, labels, positions, chunk_ids
+
+
+def chunk_images_train(summary: PolishSummary, chunk_size: int = 1000,
+                       chunk_overlap: int = 50):
+    """Train chunking honoring bad-label segment boundaries
+    (AlignmentSummarizer.py:58-103)."""
+    images, labels, positions, chunk_ids = [], [], [], []
+    bad_indices = summary.bad_label_positions
+    chunk_start = 0
+    chunk_id = 0
+    for i in range(len(bad_indices)):
+        chunk_end = min(chunk_start + chunk_size, bad_indices[i])
+        while True:
+            if chunk_end - chunk_start != chunk_size:
+                padding_required = chunk_size - (chunk_end - chunk_start)
+                chunk_start -= padding_required
+                if chunk_start < 0:
+                    break
+                if i > 0 and chunk_start < bad_indices[i - 1]:
+                    break
+            images.append(np.asarray(
+                summary.image[chunk_start:chunk_end], np.uint8))
+            positions.append(np.asarray(
+                summary.genomic_pos[chunk_start:chunk_end], np.int64))
+            labels.append(np.asarray(
+                summary.labels[chunk_start:chunk_end], np.uint8))
+            chunk_ids.append(chunk_id)
+            chunk_id += 1
+            if chunk_end == bad_indices[i]:
+                break
+            chunk_start = chunk_end - chunk_overlap
+            chunk_end = min(bad_indices[i], chunk_start + chunk_size)
+        chunk_start = chunk_end + 1
+    return images, labels, positions, chunk_ids
