@@ -1,0 +1,107 @@
+"""Consensus inference: hidden-state-carry sliding windows as a lax.scan.
+
+Reference semantics (pepper/modules/python/models/predict_distributed_cpu.py
+:42-100): zero hidden (B, 2, 128); for i in range(0, 1000, 50) with window
+100: logits, hidden = model(image[:, i:i+100], hidden); softmax votes
+accumulate into a (B, 1000, 5) tensor; labels = argmax; phred from the vote
+fraction with counts 2 in the interior and 1 in the 50-base edges.
+
+TPU-native: the window loop IS the scan (hidden as carry), the overlap vote
+is a static scatter-add via zero-padding inside the scan body — one jit,
+no host round-trips per window.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.polish_gru import polish_forward
+from ..options import PolishImageOptions
+
+SEQ_LENGTH = PolishImageOptions.SEQ_LENGTH          # 1000
+SEQ_OVERLAP = PolishImageOptions.SEQ_OVERLAP        # 50
+TRAIN_WINDOW = 100
+WINDOW_JUMP = 50
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def consensus_scan(params, images, num_classes=5):
+    """images: (B, SEQ_LENGTH, F) float.
+    Returns (votes (B, SEQ_LENGTH, C) float32, labels (B, SEQ_LENGTH) int32,
+    phred (B, SEQ_LENGTH) float32)."""
+    B = images.shape[0]
+    hidden0 = jnp.zeros((B, 2, 128), images.dtype)
+    starts = np.arange(0, SEQ_LENGTH - TRAIN_WINDOW + 1, WINDOW_JUMP)
+
+    # pre-gather the overlapping windows: (n_windows, B, TRAIN_WINDOW, F)
+    windows = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(images, int(s), TRAIN_WINDOW, axis=1)
+         for s in starts])
+    offsets = jnp.asarray(starts, jnp.int32)
+
+    def body(carry, inputs):
+        hidden, votes = carry
+        window, offset = inputs
+        logits, hidden = polish_forward(params, window, hidden)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
+        padded = jnp.zeros((B, SEQ_LENGTH, num_classes), jnp.float32)
+        padded = jax.lax.dynamic_update_slice_in_dim(padded, probs, offset,
+                                                     axis=1)
+        return (hidden, votes + padded), ()
+
+    votes0 = jnp.zeros((B, SEQ_LENGTH, num_classes), jnp.float32)
+    (hidden, votes), _ = jax.lax.scan(body, (hidden0, votes0),
+                                      (windows, offsets))
+
+    base_values = jnp.max(votes, axis=2)
+    labels = jnp.argmax(votes, axis=2).astype(jnp.int32)
+    counts = jnp.ones((B, SEQ_LENGTH - 2 * SEQ_OVERLAP), jnp.float32)
+    counts = jnp.pad(counts, ((0, 0), (SEQ_OVERLAP, SEQ_OVERLAP))) + 1.0
+    fraction = base_values / counts
+    phred = -10.0 * jnp.log10(jnp.maximum(1e-30, 1.0 - fraction))
+    phred = jnp.where(fraction >= 1.0, 100.0, phred)
+    return votes, labels, phred
+
+
+def dry_consensus_labels(images: np.ndarray):
+    """Deterministic model-free backend (polish analog of the variant-mode
+    --dry fixture): per-position dominant observation from the image itself.
+    Channels (summary.get_feature_index): rev A..T -> 0..3, fwd A..T ->
+    4..7, gap rev/fwd -> 8/9.  Label 1..4 = ACGT, 0 = gap."""
+    images = images.astype(np.float32)
+    base_votes = images[..., 0:4] + images[..., 4:8]        # (N, L, 4)
+    gap_votes = images[..., 8] + images[..., 9]             # (N, L)
+    best_base = np.argmax(base_votes, axis=-1)              # 0..3
+    best_votes = np.max(base_votes, axis=-1)
+    labels = np.where(gap_votes > best_votes, 0, best_base + 1)
+    # all-zero columns (padding) decode to 0
+    labels = np.where((base_votes.sum(-1) + gap_votes) == 0, 0, labels)
+    phred = np.full(labels.shape, 60.0, np.float32)
+    return labels.astype(np.int32), phred
+
+
+def consensus_predict(params, images: np.ndarray, batch_size: int = 128,
+                      compute_dtype=jnp.float32):
+    """Batched host wrapper: (N, 1000, 10) uint8 images -> (labels, phred)
+    numpy arrays, padding the final batch so jit compiles once."""
+    n = len(images)
+    if n == 0:
+        return (np.zeros((0, SEQ_LENGTH), np.int32),
+                np.zeros((0, SEQ_LENGTH), np.float32))
+    all_labels = np.zeros((n, SEQ_LENGTH), np.int32)
+    all_phred = np.zeros((n, SEQ_LENGTH), np.float32)
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        padded = np.zeros((batch_size, SEQ_LENGTH, images.shape[2]),
+                          np.float32)
+        padded[:len(chunk)] = chunk
+        _, labels, phred = consensus_scan(
+            params, jnp.asarray(padded, compute_dtype))
+        all_labels[start:start + len(chunk)] = np.asarray(
+            labels)[:len(chunk)]
+        all_phred[start:start + len(chunk)] = np.asarray(phred)[:len(chunk)]
+    return all_labels, all_phred

@@ -158,18 +158,26 @@ class PolishSummary:
             elif op == OP_SOFT_CLIP:
                 read_index += length
 
+    @staticmethod
+    def _pixel(value: float) -> int:
+        # The reference assigns the double straight into uint8_t
+        # (generate_image, :282); deleted columns can exceed 255 because
+        # deletion coverage is booked at the anchor — the compiled C++
+        # truncates to int and keeps the low byte, replicated here.
+        return int(value) & 0xFF
+
     def _generate_image(self) -> None:
         for pos in range(self.ref_start, self.ref_end + 1):
             denom = max(1.0, self.coverage[pos])
             row = [
-                np.uint8(self.base_summaries[(pos, j)] / denom * MAX_COLOR)
+                self._pixel(self.base_summaries[(pos, j)] / denom * MAX_COLOR)
                 for j in range(10)
             ]
             self.image.append(row)
             for ii in range(self.longest_insert_count[pos]):
                 self.image.append([
-                    np.uint8(self.insert_summaries[((pos, ii), j)] / denom
-                             * MAX_COLOR)
+                    self._pixel(self.insert_summaries[((pos, ii), j)] / denom
+                                * MAX_COLOR)
                     for j in range(10)
                 ])
 

@@ -1,0 +1,214 @@
+"""Polish-mode tests: model parity with torch (incl. hidden carry),
+consensus-scan semantics, and end-to-end draft polishing with the dry
+(dominant-base) backend."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pepper_tpu.io.bam_writer import write_bam, write_fasta
+from pepper_tpu.models.polish_gru import (
+    init_polish_params, polish_forward)
+from pepper_tpu.options import PepperOptions
+from pepper_tpu.polish.consensus import consensus_scan, dry_consensus_labels
+from pepper_tpu.polish.pipeline import polish
+from pepper_tpu.polish.summary import PolishSummary, get_feature_index
+
+from simulate import apply_variants, random_reference, simulate_reads
+
+CONTIG = "ctg1"
+
+
+def test_polish_feature_index():
+    # summary_generator.cpp:16-32: reverse A..T -> 0..3 else 8;
+    # forward A..T -> 4..7 else 9
+    assert get_feature_index("A", True) == 0
+    assert get_feature_index("T", True) == 3
+    assert get_feature_index("*", True) == 8
+    assert get_feature_index("A", False) == 4
+    assert get_feature_index("N", False) == 9
+
+
+def test_polish_model_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    class TorchPolish(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = nn.GRU(10, 128, num_layers=1, bidirectional=True,
+                                  batch_first=True)
+            self.decoder = nn.GRU(256, 128, num_layers=1, bidirectional=True,
+                                  batch_first=True)
+            self.linear = nn.Linear(256, 5)
+
+        def forward(self, x, hidden):
+            hidden = hidden.transpose(0, 1).contiguous()
+            x, hidden_out = self.encoder(x, hidden)
+            x, hidden_final = self.decoder(x, hidden_out)
+            x = self.linear(x)
+            return x, hidden_final.transpose(0, 1).contiguous()
+
+    torch.manual_seed(5)
+    tmodel = TorchPolish().eval()
+    sd = {k.replace("linear.", "linear."): v
+          for k, v in tmodel.state_dict().items()}
+    from pepper_tpu.models.torch_convert import polish_params_from_state_dict
+
+    params = polish_params_from_state_dict(sd)
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.RandomState(0)
+    x1 = rng.rand(3, 100, 10).astype(np.float32)
+    x2 = rng.rand(3, 100, 10).astype(np.float32)
+    h0 = np.zeros((3, 2, 128), np.float32)
+
+    with torch.no_grad():
+        t_out1, t_h1 = tmodel(torch.from_numpy(x1), torch.from_numpy(h0))
+        t_out2, t_h2 = tmodel(torch.from_numpy(x2), t_h1)
+
+    j_out1, j_h1 = polish_forward(params, jnp.asarray(x1), jnp.asarray(h0))
+    j_out2, j_h2 = polish_forward(params, jnp.asarray(x2), j_h1)
+
+    np.testing.assert_allclose(np.asarray(j_out1), t_out1.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_h1), t_h1.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_out2), t_out2.numpy(), atol=2e-5)
+
+
+def test_consensus_scan_matches_reference_loop():
+    """The jitted scan must equal the reference's explicit window loop
+    (predict_distributed_cpu.py:50-97) run step by step."""
+    import jax
+    import jax.numpy as jnp
+
+    params = init_polish_params(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(2)
+    images = rng.randint(0, 255, size=(2, 1000, 10)).astype(np.float32)
+
+    votes, labels, phred = consensus_scan(params, jnp.asarray(images))
+    votes = np.asarray(votes)
+
+    # manual loop
+    hidden = np.zeros((2, 2, 128), np.float32)
+    expected_votes = np.zeros((2, 1000, 5), np.float32)
+    for i in range(0, 1000, 50):
+        if i + 100 > 1000:
+            break
+        chunk = images[:, i:i + 100]
+        logits, hidden = polish_forward(params, jnp.asarray(chunk),
+                                        jnp.asarray(hidden))
+        probs = np.asarray(jax.nn.softmax(logits, axis=2))
+        expected_votes[:, i:i + 100] += probs
+        hidden = np.asarray(hidden)
+
+    np.testing.assert_allclose(votes, expected_votes, atol=1e-4)
+    assert labels.shape == (2, 1000)
+    # phred: interior counts 2, edge counts 1
+    values = expected_votes.max(axis=2)
+    counts = np.ones((2, 900), np.float32)
+    counts = np.pad(counts, ((0, 0), (50, 50))) + 1.0
+    frac = values / counts
+    expected_phred = -10 * np.log10(np.maximum(1e-30, 1 - frac))
+    expected_phred[frac >= 1] = 100
+    np.testing.assert_allclose(np.asarray(phred), expected_phred, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def polish_sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("polish")
+    draft = random_reference(2400, seed=21)
+
+    def alt_base(pos):
+        return {"A": "T", "T": "A", "C": "G", "G": "C"}[draft[pos]]
+
+    variants = [
+        (300, draft[300], alt_base(300)),               # SNP error in draft
+        (700, draft[700], draft[700] + "GG"),           # draft missing GG
+        (1100, draft[1100:1103], draft[1100]),          # draft has 2 extra
+    ]
+    true_seq = apply_variants(draft, variants)
+    true_sequence = "".join(alt for _, _, alt in true_seq)
+
+    records = simulate_reads(draft, [variants, variants], read_len=300,
+                             stride=20, name_prefix="p")
+    bam = str(tmp / "reads.bam")
+    fasta = str(tmp / "draft.fa")
+    write_bam(bam, [(CONTIG, len(draft))], records)
+    write_fasta(fasta, {CONTIG: draft})
+    return dict(tmp=tmp, bam=bam, fasta=fasta, draft=draft,
+                truth=true_sequence)
+
+
+def test_polish_e2e_dry_recovers_truth(polish_sim):
+    options = PepperOptions(
+        bam=polish_sim["bam"], fasta=polish_sim["fasta"],
+        output_dir=str(polish_sim["tmp"] / "out"), threads=1, dry=True,
+        batch_size=8)
+    fasta_path = polish(options, params=None)
+    assert os.path.exists(fasta_path)
+    with open(fasta_path) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == f">{CONTIG}"
+    polished = "".join(lines[1:])
+    assert polished == polish_sim["truth"]
+
+
+def test_polish_e2e_model_runs(polish_sim):
+    """Untrained GRU: pipeline must produce a well-formed FASTA."""
+    import jax
+
+    params = init_polish_params(jax.random.PRNGKey(0))
+    options = PepperOptions(
+        bam=polish_sim["bam"], fasta=polish_sim["fasta"],
+        output_dir=str(polish_sim["tmp"] / "out_model"), threads=1,
+        dry=False, batch_size=8)
+    fasta_path = polish(options, params=params)
+    with open(fasta_path) as f:
+        content = f.read()
+    assert content.startswith(f">{CONTIG}")
+
+
+def test_polish_tbptt_training(polish_sim, tmp_path):
+    """TBPTT training on dry-labeled chunks: loss decreases across epochs."""
+    import jax
+    import optax
+
+    from pepper_tpu.polish.train import (
+        make_polish_eval_step, make_tbptt_step)
+
+    # synth training data: random images with dry labels
+    from pepper_tpu.polish.pipeline import make_polish_images
+    from pepper_tpu.polish.datastore import PolishImageStore
+
+    options = PepperOptions(
+        bam=polish_sim["bam"], fasta=polish_sim["fasta"], threads=1)
+    image_dir = str(tmp_path / "imgs")
+    make_polish_images(options, image_dir)
+    files = [os.path.join(image_dir, f) for f in os.listdir(image_dir)]
+    images = []
+    with PolishImageStore(files[0], "r") as store:
+        for name in store.summary_names():
+            images.append(store.read_summary(name)["image"])
+    images = np.stack(images).astype(np.float32)
+    labels, _ = dry_consensus_labels(images)
+
+    params = init_polish_params(jax.random.PRNGKey(0))
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+    step = make_tbptt_step(optimizer)
+    mask = np.ones(len(images), np.float32)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, images,
+                                       labels.astype(np.int32), mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    eval_step = make_polish_eval_step()
+    loss, confusion = eval_step(params, images, labels.astype(np.int32),
+                                mask)
+    assert np.asarray(confusion).sum() == images.shape[0] * 1000
