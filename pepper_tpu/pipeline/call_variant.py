@@ -78,7 +78,14 @@ def call_variant(options, params=None):
     if options.dry:
         predictions = fake_predict(windows)
     else:
-        runner = InferenceRunner(params, batch_size=options.batch_size)
+        from ..options import ImageOptions, ImageOptionsHP
+
+        size_options = (ImageOptionsHP if options.use_hp_info
+                        else ImageOptions)
+        runner = InferenceRunner(
+            params, batch_size=options.batch_size,
+            window=size_options.CANDIDATE_WINDOW_SIZE + 1,
+            features=size_options.IMAGE_HEIGHT)
         predictions = runner.predict(windows)
     log_info("FINISHED PREDICTION")
 

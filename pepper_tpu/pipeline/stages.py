@@ -69,7 +69,14 @@ def run_inference(options, image_dir: str, output_dir: str, params=None):
     output_file = os.path.join(output_dir, "pepper_prediction_0.hdf")
     runner = None
     if not options.dry:
-        runner = InferenceRunner(params, batch_size=options.batch_size)
+        from ..options import ImageOptions, ImageOptionsHP
+
+        size_options = (ImageOptionsHP if options.use_hp_info
+                        else ImageOptions)
+        runner = InferenceRunner(
+            params, batch_size=options.batch_size,
+            window=size_options.CANDIDATE_WINDOW_SIZE + 1,
+            features=size_options.IMAGE_HEIGHT)
     batch_no = 0
     with PredictionStore(output_file, "w") as store:
         for image_file in _image_files(image_dir):

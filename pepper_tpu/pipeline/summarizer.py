@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..options import AlignerOptions, ImageOptions
+from ..options import AlignerOptions, ImageOptions, ImageOptionsHP
 from ..ops.pileup_ref import RegionalSummary
 
 
@@ -68,7 +68,18 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
         expected_len = region_end - region_start + 1
         if len(ref_seq) < expected_len:
             ref_seq = ref_seq + "N" * (expected_len - len(ref_seq))
-        summary = RegionalSummary(contig, region_start, region_end, ref_seq)
+        if options.use_hp_info:
+            from ..ops.pileup_hp import RegionalSummaryHP
+
+            summary = RegionalSummaryHP(contig, region_start, region_end,
+                                        ref_seq)
+            window_size = ImageOptionsHP.CANDIDATE_WINDOW_SIZE
+            feature_size = ImageOptionsHP.IMAGE_HEIGHT
+        else:
+            summary = RegionalSummary(contig, region_start, region_end,
+                                      ref_seq)
+            window_size = ImageOptions.CANDIDATE_WINDOW_SIZE
+            feature_size = ImageOptions.IMAGE_HEIGHT
         summary.generate_max_insert_summary(all_reads)
         if truth is not None:
             summary.generate_labels(*truth)
@@ -88,8 +99,8 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
             skip_indels=options.skip_indels,
             candidate_region_start=candidate_start,
             candidate_region_end=candidate_end,
-            candidate_window_size=ImageOptions.CANDIDATE_WINDOW_SIZE,
-            feature_size=ImageOptions.IMAGE_HEIGHT,
+            candidate_window_size=window_size,
+            feature_size=feature_size,
             train_mode=options.train_mode)
 
     if not options.train_mode:
