@@ -235,13 +235,19 @@ class RegionalSummaryHP(RegionalSummary):
                     self.max_observed_insert[pos - self.ref_start]) + 1):
                 image[base_index + j, 0] = value
 
-        state = (image, coverage, snp_count, insert_count, delete_count,
-                 allele_map, allele_fwd_hp1, allele_rev_hp1, allele_fwd_hp2,
-                 allele_rev_hp2)
+        from .pileup_ref import EventMatrix
+
+        accumulator = image if self.matrix_backend is None else EventMatrix()
+        state = (accumulator, coverage, snp_count, insert_count,
+                 delete_count, allele_map, allele_fwd_hp1, allele_rev_hp1,
+                 allele_fwd_hp2, allele_rev_hp2)
         for r in range(batch.n_reads):
             if batch.mapq[r] > 0:
                 self._populate_read(state, r, batch, min_snp_baseq,
                                     min_indel_baseq)
+        if self.matrix_backend is not None:
+            rows, cols, deltas = accumulator.arrays()
+            image += self.matrix_backend(rows, cols, deltas, image.shape)
 
         filtered_positions = []
         snp_pass = np.zeros(n_ref, bool)

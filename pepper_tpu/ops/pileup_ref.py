@@ -123,11 +123,46 @@ def _truth_candidate_string(record: TruthRecord) -> str:
     return type_digit + allele
 
 
+class EventMatrix:
+    """Records scatter-accumulate writes as an event stream instead of
+    mutating a dense matrix — the feed for the TPU accumulation kernels
+    (ops/pileup_kernel.py).  Only ``m[r, c] -= 1`` / ``+= 1`` patterns are
+    used by the walkers, so __getitem__ returns 0 and the subsequently
+    stored value IS the delta."""
+
+    __slots__ = ("rows", "cols", "deltas")
+
+    def __init__(self):
+        self.rows: list[int] = []
+        self.cols: list[int] = []
+        self.deltas: list[int] = []
+
+    def __getitem__(self, key):
+        return 0
+
+    def __setitem__(self, key, value):
+        row, col = key
+        self.rows.append(row)
+        self.cols.append(col)
+        self.deltas.append(int(value))
+
+    def arrays(self):
+        return (np.asarray(self.rows, np.int32),
+                np.asarray(self.cols, np.int32),
+                np.asarray(self.deltas, np.int32))
+
+
 class RegionalSummary:
-    """Per-region pileup image + candidate generator."""
+    """Per-region pileup image + candidate generator.
+
+    matrix_backend: None accumulates reads straight into the numpy matrix;
+    otherwise a callable (rows, cols, deltas, shape) -> int array that
+    performs the scatter-accumulate (e.g. the Pallas TPU kernel)."""
 
     def __init__(self, contig: str, ref_start: int, ref_end: int,
-                 reference_sequence: str, generate_indels: bool = False):
+                 reference_sequence: str, generate_indels: bool = False,
+                 matrix_backend=None):
+        self.matrix_backend = matrix_backend
         self.contig = contig
         self.ref_start = ref_start
         self.ref_end = ref_end
@@ -424,12 +459,16 @@ class RegionalSummary:
                            + 1):
                 image[base_index + j, 0] = value
 
-        state = (image, coverage, snp_count, insert_count, delete_count,
-                 allele_map, allele_fwd, allele_rev)
+        accumulator = image if self.matrix_backend is None else EventMatrix()
+        state = (accumulator, coverage, snp_count, insert_count,
+                 delete_count, allele_map, allele_fwd, allele_rev)
         for r in range(batch.n_reads):
             if batch.mapq[r] > 0:
                 self._populate_read(state, r, batch, min_snp_baseq,
                                     min_indel_baseq)
+        if self.matrix_backend is not None:
+            rows, cols, deltas = accumulator.arrays()
+            image += self.matrix_backend(rows, cols, deltas, image.shape)
 
         # per-position frequency gates (region_summary.cpp:634-654)
         filtered_positions = []
