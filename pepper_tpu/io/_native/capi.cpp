@@ -4,6 +4,7 @@
 
 #include "bam.h"
 #include "fasta.h"
+#include "pileup.h"
 
 extern "C" {
 
@@ -79,6 +80,81 @@ long long pepper_rb_cigar_size(void* batch) {
 long long pepper_rb_names_size(void* batch) {
   return static_cast<long long>(static_cast<ReadBatch*>(batch)->names.size());
 }
+
+// ---------------- Pileup ----------------
+
+// Builds a ReadBatch view from packed arrays (so Python-side downsampled
+// batches can run the native walk) and accumulates the pileup.
+void* pepper_pileup_run(long long n_reads, const long long* pos,
+                        const int* flag, const int* mapq, const int* hp,
+                        const long long* seq_offsets, const char* seq,
+                        const unsigned char* qual,
+                        const long long* cigar_offsets,
+                        const unsigned char* cigar_ops,
+                        const int* cigar_lens, const char* ref_seq,
+                        long long ref_start, long long ref_end,
+                        double min_snp_baseq, double min_indel_baseq,
+                        int hp_mode) {
+  ReadBatch batch;
+  batch.pos.assign(pos, pos + n_reads);
+  batch.flag.assign(flag, flag + n_reads);
+  batch.mapq.assign(mapq, mapq + n_reads);
+  batch.hp.assign(hp, hp + n_reads);
+  batch.seq_offsets.assign(seq_offsets, seq_offsets + n_reads + 1);
+  const long long seq_size = seq_offsets[n_reads];
+  batch.seq.assign(seq, seq + seq_size);
+  batch.qual.assign(qual, qual + seq_size);
+  batch.cigar_offsets.assign(cigar_offsets, cigar_offsets + n_reads + 1);
+  const long long cigar_size = cigar_offsets[n_reads];
+  batch.cigar_ops.assign(cigar_ops, cigar_ops + cigar_size);
+  batch.cigar_lens.assign(cigar_lens, cigar_lens + cigar_size);
+  batch.pos_end.assign(n_reads, 0);
+
+  auto* result = new PileupResult(pileup_run(
+      batch, std::string(ref_seq), ref_start, ref_end, min_snp_baseq,
+      min_indel_baseq, hp_mode));
+  return result;
+}
+
+void pepper_pileup_free(void* p) { delete static_cast<PileupResult*>(p); }
+
+long long pepper_pileup_n_rows(void* p) {
+  return static_cast<PileupResult*>(p)->n_rows;
+}
+int pepper_pileup_features(void* p) {
+  return static_cast<PileupResult*>(p)->features;
+}
+long long pepper_pileup_n_alleles(void* p) {
+  return static_cast<long long>(
+      static_cast<PileupResult*>(p)->allele_pos.size());
+}
+long long pepper_pileup_strs_size(void* p) {
+  return static_cast<long long>(
+      static_cast<PileupResult*>(p)->allele_strs.size());
+}
+
+#define PILEUP_FIELD(name, type, member)                    \
+  const type* pepper_pileup_##name(void* p) {               \
+    return static_cast<PileupResult*>(p)->member.data();    \
+  }
+
+PILEUP_FIELD(image, int64_t, image)
+PILEUP_FIELD(coverage, int64_t, coverage)
+PILEUP_FIELD(snp_count, int64_t, snp_count)
+PILEUP_FIELD(insert_count, int64_t, insert_count)
+PILEUP_FIELD(delete_count, int64_t, delete_count)
+PILEUP_FIELD(allele_pos, int64_t, allele_pos)
+PILEUP_FIELD(allele_total, int32_t, allele_total)
+PILEUP_FIELD(allele_fwd, int32_t, allele_fwd)
+PILEUP_FIELD(allele_rev, int32_t, allele_rev)
+PILEUP_FIELD(allele_fwd_hp1, int32_t, allele_fwd_hp1)
+PILEUP_FIELD(allele_rev_hp1, int32_t, allele_rev_hp1)
+PILEUP_FIELD(allele_fwd_hp2, int32_t, allele_fwd_hp2)
+PILEUP_FIELD(allele_rev_hp2, int32_t, allele_rev_hp2)
+PILEUP_FIELD(allele_str_offsets, int64_t, allele_str_offsets)
+PILEUP_FIELD(allele_strs, char, allele_strs)
+
+#undef PILEUP_FIELD
 
 // ---------------- FASTA ----------------
 

@@ -1,0 +1,345 @@
+#include "pileup.h"
+
+#include <algorithm>
+#include <cctype>
+
+namespace {
+
+inline bool valid_ref_base(char base) {
+  base = static_cast<char>(std::toupper(base));
+  return base == 'A' || base == 'C' || base == 'G' || base == 'T';
+}
+
+inline int base_offset(char base) {
+  switch (std::toupper(base)) {
+    case 'A':
+      return 1;
+    case 'C':
+      return 2;
+    case 'G':
+      return 3;
+    case 'T':
+      return 4;
+    case 'I':
+      return 5;
+    case 'D':
+      return 6;
+    default:
+      return 7;
+  }
+}
+
+// Non-HP feature column (region_summary.cpp:201-230).
+inline int feature_index(char ref_base, char base, bool is_reverse) {
+  if (!valid_ref_base(ref_base)) return -1;
+  return (is_reverse ? 18 : 7) + base_offset(base);
+}
+
+// HP feature column (region_summary_hp.cpp:191-240).
+inline int feature_index_hp(char ref_base, char base, bool is_reverse,
+                            int hp_block) {
+  if (!valid_ref_base(ref_base)) return -1;
+  const int start = (hp_block == 1) ? (is_reverse ? 18 : 7)
+                                    : (is_reverse ? 40 : 29);
+  return start + base_offset(base);
+}
+
+using AlleleKey = std::pair<int64_t, std::string>;
+
+struct Accumulator {
+  PileupResult* out;
+  std::map<AlleleKey, AlleleTally>* alleles;
+  int64_t ref_start, ref_end;
+  const std::string* ref_seq;
+  double min_snp_baseq, min_indel_baseq;
+  int hp_mode;
+
+  void image_add(int64_t row, int col, int64_t delta) {
+    out->image[row * out->features + col] += delta;
+  }
+};
+
+void record_allele(Accumulator& acc, int64_t region_index,
+                   const std::string& candidate, bool is_reverse,
+                   int hp_tag) {
+  auto& tally = (*acc.alleles)[{region_index, candidate}];
+  tally.total += 1;
+  if (acc.hp_mode == 0) {
+    if (is_reverse)
+      tally.rev += 1;
+    else
+      tally.fwd += 1;
+  } else {
+    if (hp_tag == 0 || hp_tag == 1) {
+      if (is_reverse)
+        tally.rev_hp1 += 1;
+      else
+        tally.fwd_hp1 += 1;
+    }
+    if (hp_tag == 0 || hp_tag == 2) {
+      if (is_reverse)
+        tally.rev_hp2 += 1;
+      else
+        tally.fwd_hp2 += 1;
+    }
+  }
+}
+
+// One read's walk — mirrors ops/pileup_ref.py::_populate_read and
+// ops/pileup_hp.py::_populate_read exactly.
+void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
+  const int64_t seq_start = batch.seq_offsets[r];
+  const int64_t seq_end = batch.seq_offsets[r + 1];
+  const char* seq = batch.seq.data() + seq_start;
+  const uint8_t* qual = batch.qual.data() + seq_start;
+  const int64_t cigar_start = batch.cigar_offsets[r];
+  const int64_t cigar_end = batch.cigar_offsets[r + 1];
+  const bool is_reverse = (batch.flag[r] & 0x10) != 0;
+  const int hp_tag = acc.hp_mode ? batch.hp[r] : 0;
+  const std::string& ref = *acc.ref_seq;
+  const int64_t ref_start = acc.ref_start;
+  const int64_t ref_end = acc.ref_end;
+  (void)seq_end;
+
+  const bool hp = acc.hp_mode != 0;
+  const bool in_hp1 = hp_tag == 0 || hp_tag == 1;
+  const bool in_hp2 = hp_tag == 0 || hp_tag == 2;
+  int hp_blocks[2];
+  int n_blocks = 0;
+  if (hp) {
+    if (hp_tag == 0) {
+      hp_blocks[n_blocks++] = 1;
+      hp_blocks[n_blocks++] = 2;
+    } else {
+      hp_blocks[n_blocks++] = hp_tag;
+    }
+  }
+
+  int64_t read_index = 0;
+  int64_t ref_position = batch.pos[r];
+  const int64_t n_ops = cigar_end - cigar_start;
+
+  for (int64_t ci = 0; ci < n_ops; ++ci) {
+    if (ref_position > ref_end) break;
+    const uint8_t op = batch.cigar_ops[cigar_start + ci];
+    const int64_t length = batch.cigar_lens[cigar_start + ci];
+    switch (op) {
+      case CIGAR_MATCH:
+      case CIGAR_EQUAL:
+      case CIGAR_DIFF: {
+        int64_t start_i = 0;
+        if (ref_position < ref_start) {
+          start_i = std::min(ref_start - ref_position, length);
+          read_index += start_i;
+          ref_position += start_i;
+        }
+        for (int64_t i = start_i; i < length; ++i) {
+          const double base_quality = qual[read_index];
+          if (ref_position >= ref_start && ref_position <= ref_end) {
+            const char base = seq[read_index];
+            const char ref_base = ref[ref_position - ref_start];
+            const int64_t region_index = ref_position - ref_start;
+            const int64_t base_index = region_index;  // no insert expansion
+            if (base_quality >= acc.min_snp_baseq) {
+              acc.out->coverage[region_index] += 1;
+              if (!hp) {
+                // anchor quirk: last base of a non-final M op whose next
+                // op is INS/DEL skips the coverage-row decrement
+                bool draw = true;
+                if (i == length - 1 && ci != n_ops - 1) {
+                  const uint8_t next_op = batch.cigar_ops[cigar_start + ci + 1];
+                  if (next_op == CIGAR_INS || next_op == CIGAR_DEL)
+                    draw = false;
+                }
+                if (draw) acc.image_add(base_index, is_reverse ? 15 : 4, -1);
+              } else {
+                if (in_hp1) acc.image_add(base_index, is_reverse ? 15 : 4, -1);
+                if (in_hp2)
+                  acc.image_add(base_index, is_reverse ? 37 : 26, -1);
+              }
+            }
+            if (ref_base != base && base_quality >= acc.min_snp_baseq) {
+              acc.out->snp_count[region_index] += 1;
+              if (!hp) {
+                const int fi = feature_index(ref_base, base, is_reverse);
+                if (fi >= 0) acc.image_add(base_index, fi, -1);
+              }
+              // HP mode: mismatches are NOT drawn into observation rows
+              record_allele(acc, region_index, std::string("1") + base,
+                            is_reverse, hp_tag);
+            } else if (base_quality >= acc.min_snp_baseq) {
+              if (!hp) {
+                const int fi = feature_index(ref_base, base, is_reverse);
+                if (fi >= 0) acc.image_add(base_index, fi, -1);
+              } else {
+                for (int b = 0; b < n_blocks; ++b) {
+                  const int fi = feature_index_hp(ref_base, base, is_reverse,
+                                                  hp_blocks[b]);
+                  if (fi >= 0) acc.image_add(base_index, fi, -1);
+                }
+              }
+            }
+          }
+          read_index += 1;
+          ref_position += 1;
+        }
+        break;
+      }
+      case CIGAR_INS: {
+        const int64_t anchor = ref_position - 1;
+        if (anchor >= ref_start && anchor <= ref_end && read_index - 1 >= 0) {
+          const char ref_base = ref[anchor - ref_start];
+          const int64_t base_index = anchor - ref_start;
+          std::string alt(seq + read_index - 1,
+                          seq + read_index + length);
+          if (!hp) {
+            // anchor included: quality over length+1 bases from anchor
+            const int64_t alt_len = length + 1;
+            const int64_t start_index = read_index - 1;
+            int64_t base_quality = 0;
+            for (int64_t i = start_index; i < start_index + alt_len; ++i)
+              base_quality += qual[i];
+            if (base_quality >= acc.min_indel_baseq * alt_len &&
+                qual[start_index] < acc.min_snp_baseq)
+              acc.out->coverage[anchor - ref_start] += 1;
+            const std::string candidate = "2" + alt;
+            if (candidate.size() <= 61 &&
+                base_quality >= acc.min_indel_baseq * alt_len) {
+              const int fi = feature_index(ref_base, 'I', is_reverse);
+              if (fi >= 0) acc.image_add(base_index, fi, -1);
+              acc.out->insert_count[anchor - ref_start] += 1;
+              record_allele(acc, anchor - ref_start, candidate, is_reverse,
+                            hp_tag);
+            }
+          } else {
+            // HP: quality over the inserted bases only; failing inserts
+            // DECREMENT coverage when the anchor base had passed
+            const int64_t ins_len = length;
+            int64_t base_quality = 0;
+            for (int64_t i = 0; i < ins_len; ++i)
+              base_quality += qual[read_index + i];
+            if (base_quality < acc.min_indel_baseq * ins_len &&
+                qual[read_index - 1] >= acc.min_snp_baseq)
+              acc.out->coverage[anchor - ref_start] -= 1;
+            const std::string candidate = "2" + alt;
+            if (candidate.size() <= 61 &&
+                base_quality >= acc.min_indel_baseq * ins_len) {
+              for (int b = 0; b < n_blocks; ++b) {
+                const int fi = feature_index_hp(ref_base, 'I', is_reverse,
+                                                hp_blocks[b]);
+                if (fi >= 0) acc.image_add(base_index, fi, +1);
+              }
+              acc.out->insert_count[anchor - ref_start] += 1;
+              record_allele(acc, anchor - ref_start, candidate, is_reverse,
+                            hp_tag);
+            }
+          }
+        }
+        read_index += length;
+        break;
+      }
+      case CIGAR_DEL: {
+        const int64_t anchor = ref_position - 1;
+        if (anchor >= ref_start && anchor <= ref_end) {
+          const char ref_base = ref[anchor - ref_start];
+          const int64_t base_index = anchor - ref_start;
+          if (!hp) {
+            const int fi = feature_index(ref_base, 'D', is_reverse);
+            if (fi >= 0) acc.image_add(base_index, fi, -1);
+          } else {
+            for (int b = 0; b < n_blocks; ++b) {
+              const int fi = feature_index_hp(ref_base, 'D', is_reverse,
+                                              hp_blocks[b]);
+              if (fi >= 0) acc.image_add(base_index, fi, +1);
+            }
+          }
+          const int64_t avail = static_cast<int64_t>(ref.size())
+                                - (anchor - ref_start);
+          const std::string ref_allele = ref.substr(
+              anchor - ref_start,
+              std::min<int64_t>(length + 1, avail));
+          const std::string candidate = "3" + ref_allele;
+          if (candidate.size() <= 61) {
+            acc.out->delete_count[anchor - ref_start] += 1;
+            record_allele(acc, anchor - ref_start, candidate, is_reverse,
+                          hp_tag);
+          }
+        }
+        for (int64_t i = 0; i < length; ++i) {
+          const int64_t pos = ref_position + i;
+          if (pos >= ref_start && pos <= ref_end) {
+            const char ref_base = ref[pos - ref_start];
+            const int64_t base_index = pos - ref_start;
+            if (!hp) {
+              const int fi = feature_index(ref_base, '*', is_reverse);
+              if (fi >= 0) acc.image_add(base_index, fi, -1);
+            } else {
+              for (int b = 0; b < n_blocks; ++b) {
+                const int fi = feature_index_hp(ref_base, '*', is_reverse,
+                                                hp_blocks[b]);
+                if (fi >= 0) acc.image_add(base_index, fi, +1);
+              }
+            }
+          }
+        }
+        ref_position += length;
+        break;
+      }
+      case CIGAR_REF_SKIP:
+      case CIGAR_PAD:
+        // reference switch falls through to SOFT_CLIP: read cursor advances
+        ref_position += length;
+        read_index += length;
+        break;
+      case CIGAR_SOFT_CLIP:
+        read_index += length;
+        break;
+      default:
+        break;  // hard clip
+    }
+  }
+}
+
+}  // namespace
+
+PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
+                        int64_t ref_start, int64_t ref_end,
+                        double min_snp_baseq, double min_indel_baseq,
+                        int hp_mode) {
+  PileupResult result;
+  const int64_t n_ref = ref_end - ref_start + 1;
+  result.n_rows = n_ref + 1;  // region_size + 1 rows, no insert expansion
+  result.features = hp_mode ? 48 : 26;
+  result.image.assign(result.n_rows * result.features, 0);
+  result.coverage.assign(n_ref, 0);
+  result.snp_count.assign(n_ref, 0);
+  result.insert_count.assign(n_ref, 0);
+  result.delete_count.assign(n_ref, 0);
+
+  std::map<AlleleKey, AlleleTally> alleles;
+  Accumulator acc{&result, &alleles, ref_start, ref_end, &ref_seq,
+                  min_snp_baseq, min_indel_baseq, hp_mode};
+
+  for (size_t r = 0; r < batch.n_reads(); ++r) {
+    if (batch.mapq[r] > 0) populate_read(acc, batch, r);
+  }
+
+  result.allele_str_offsets.push_back(0);
+  for (const auto& entry : alleles) {
+    result.allele_pos.push_back(entry.first.first);
+    const AlleleTally& tally = entry.second;
+    result.allele_total.push_back(tally.total);
+    result.allele_fwd.push_back(tally.fwd);
+    result.allele_rev.push_back(tally.rev);
+    result.allele_fwd_hp1.push_back(tally.fwd_hp1);
+    result.allele_rev_hp1.push_back(tally.rev_hp1);
+    result.allele_fwd_hp2.push_back(tally.fwd_hp2);
+    result.allele_rev_hp2.push_back(tally.rev_hp2);
+    const std::string& candidate = entry.first.second;
+    result.allele_strs.insert(result.allele_strs.end(), candidate.begin(),
+                              candidate.end());
+    result.allele_str_offsets.push_back(
+        static_cast<int64_t>(result.allele_strs.size()));
+  }
+  return result;
+}

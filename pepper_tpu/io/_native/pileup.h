@@ -1,0 +1,44 @@
+// Native pileup accumulation: the per-read scatter-accumulate walk
+// (reference region_summary.cpp:337-566 / region_summary_hp.cpp:330-676)
+// over a whole ReadBatch, producing the image matrix, count vectors and
+// allele tallies in one pass.  Semantics must stay bit-identical to the
+// Python golden walkers in pepper_tpu/ops/pileup_ref.py / pileup_hp.py
+// (which are themselves exact to the reference) — fuzz-tested in
+// tests/test_native_pileup.py.
+#pragma once
+
+#include <cstdint>
+#include <map>
+#include <string>
+#include <utility>
+#include <vector>
+
+#include "bam.h"
+
+struct AlleleTally {
+  int32_t total = 0;
+  int32_t fwd = 0, rev = 0;              // non-HP strand tallies
+  int32_t fwd_hp1 = 0, rev_hp1 = 0;      // HP mode tallies
+  int32_t fwd_hp2 = 0, rev_hp2 = 0;
+};
+
+struct PileupResult {
+  int64_t n_rows = 0;
+  int features = 0;
+  std::vector<int64_t> image;            // row-major (n_rows x features)
+  std::vector<int64_t> coverage, snp_count, insert_count, delete_count;
+  // allele tallies sorted by (region_index, candidate string); columnar
+  std::vector<int64_t> allele_pos;
+  std::vector<int32_t> allele_total;
+  std::vector<int32_t> allele_fwd, allele_rev;
+  std::vector<int32_t> allele_fwd_hp1, allele_rev_hp1;
+  std::vector<int32_t> allele_fwd_hp2, allele_rev_hp2;
+  std::vector<int64_t> allele_str_offsets;  // n+1
+  std::vector<char> allele_strs;
+};
+
+// hp_mode = 0: 26-feature variant image; 1: 48-feature HP image.
+PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
+                        int64_t ref_start, int64_t ref_end,
+                        double min_snp_baseq, double min_indel_baseq,
+                        int hp_mode);

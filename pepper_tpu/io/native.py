@@ -65,6 +65,37 @@ def get_lib() -> ctypes.CDLL:
         fn.restype = c.c_longlong
         fn.argtypes = [c.c_void_p]
 
+    lib.pepper_pileup_run.restype = c.c_void_p
+    lib.pepper_pileup_run.argtypes = [
+        c.c_longlong, c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+        c.POINTER(c.c_char), c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int32), c.c_char_p,
+        c.c_longlong, c.c_longlong, c.c_double, c.c_double, c.c_int]
+    lib.pepper_pileup_free.argtypes = [c.c_void_p]
+    for name, restype in [
+        ("n_rows", c.c_longlong), ("features", c.c_int),
+        ("n_alleles", c.c_longlong), ("strs_size", c.c_longlong),
+        ("image", c.POINTER(c.c_int64)),
+        ("coverage", c.POINTER(c.c_int64)),
+        ("snp_count", c.POINTER(c.c_int64)),
+        ("insert_count", c.POINTER(c.c_int64)),
+        ("delete_count", c.POINTER(c.c_int64)),
+        ("allele_pos", c.POINTER(c.c_int64)),
+        ("allele_total", c.POINTER(c.c_int32)),
+        ("allele_fwd", c.POINTER(c.c_int32)),
+        ("allele_rev", c.POINTER(c.c_int32)),
+        ("allele_fwd_hp1", c.POINTER(c.c_int32)),
+        ("allele_rev_hp1", c.POINTER(c.c_int32)),
+        ("allele_fwd_hp2", c.POINTER(c.c_int32)),
+        ("allele_rev_hp2", c.POINTER(c.c_int32)),
+        ("allele_str_offsets", c.POINTER(c.c_int64)),
+        ("allele_strs", c.POINTER(c.c_char)),
+    ]:
+        fn = getattr(lib, f"pepper_pileup_{name}")
+        fn.restype = restype
+        fn.argtypes = [c.c_void_p]
+
     lib.pepper_fasta_open.restype = c.c_void_p
     lib.pepper_fasta_open.argtypes = [c.c_char_p]
     lib.pepper_fasta_close.argtypes = [c.c_void_p]

@@ -217,62 +217,92 @@ class RegionalSummaryHP(RegionalSummary):
         n_ref = self.ref_end - self.ref_start + 1
         region_size = n_ref + self.total_observed_insert_bases
 
+        from collections import defaultdict
+
+        from .pileup_ref import encode_reference_values
+
         image = np.zeros((region_size + 1, feature_size), np.int64)
         coverage = np.zeros(n_ref, np.int64)
         snp_count = np.zeros(n_ref, np.int64)
         insert_count = np.zeros(n_ref, np.int64)
         delete_count = np.zeros(n_ref, np.int64)
-        allele_map = [dict() for _ in range(region_size + 1)]
-        maps = [[dict() for _ in range(region_size + 1)] for _ in range(4)]
-        allele_fwd_hp1, allele_rev_hp1, allele_fwd_hp2, allele_rev_hp2 = maps
+        allele_map = defaultdict(dict)
+        allele_fwd_hp1 = defaultdict(dict)
+        allele_rev_hp1 = defaultdict(dict)
+        allele_fwd_hp2 = defaultdict(dict)
+        allele_rev_hp2 = defaultdict(dict)
 
-        for pos in range(self.ref_start, self.ref_end + 1):
-            value = get_reference_feature_value(
-                self.reference_sequence[pos - self.ref_start])
-            base_index = self._base_index(pos)
-            image[base_index, 0] = value
-            for j in range(1, int(
-                    self.max_observed_insert[pos - self.ref_start]) + 1):
-                image[base_index + j, 0] = value
+        ref_values = encode_reference_values(self.reference_sequence[:n_ref])
+        if self.total_observed_insert_bases == 0:
+            image[:n_ref, 0] = ref_values
+        else:
+            for pos in range(self.ref_start, self.ref_end + 1):
+                value = ref_values[pos - self.ref_start]
+                base_index = self._base_index(pos)
+                image[base_index, 0] = value
+                for j in range(1, int(
+                        self.max_observed_insert[pos - self.ref_start]) + 1):
+                    image[base_index + j, 0] = value
 
-        from .pileup_ref import EventMatrix
+        if self.use_native:
+            from .native_pileup import run_native_pileup
 
-        accumulator = image if self.matrix_backend is None else EventMatrix()
-        state = (accumulator, coverage, snp_count, insert_count,
-                 delete_count, allele_map, allele_fwd_hp1, allele_rev_hp1,
-                 allele_fwd_hp2, allele_rev_hp2)
-        for r in range(batch.n_reads):
-            if batch.mapq[r] > 0:
-                self._populate_read(state, r, batch, min_snp_baseq,
-                                    min_indel_baseq)
-        if self.matrix_backend is not None:
-            rows, cols, deltas = accumulator.arrays()
-            image += self.matrix_backend(rows, cols, deltas, image.shape)
+            native = run_native_pileup(batch, self.reference_sequence,
+                                       self.ref_start, self.ref_end,
+                                       min_snp_baseq, min_indel_baseq,
+                                       hp_mode=True)
+            image += native.image
+            coverage[:] = native.coverage
+            snp_count[:] = native.snp_count
+            insert_count[:] = native.insert_count
+            delete_count[:] = native.delete_count
+            for i, candidate in enumerate(native.allele_strings):
+                region_index = int(native.allele_pos[i])
+                allele_map[region_index][candidate] = \
+                    int(native.allele_total[i])
+                allele_fwd_hp1[region_index][candidate] = \
+                    int(native.allele_fwd_hp1[i])
+                allele_rev_hp1[region_index][candidate] = \
+                    int(native.allele_rev_hp1[i])
+                allele_fwd_hp2[region_index][candidate] = \
+                    int(native.allele_fwd_hp2[i])
+                allele_rev_hp2[region_index][candidate] = \
+                    int(native.allele_rev_hp2[i])
+        else:
+            from .pileup_ref import EventMatrix
 
-        filtered_positions = []
+            accumulator = (image if self.matrix_backend is None
+                           else EventMatrix())
+            state = (accumulator, coverage, snp_count, insert_count,
+                     delete_count, allele_map, allele_fwd_hp1,
+                     allele_rev_hp1, allele_fwd_hp2, allele_rev_hp2)
+            for r in range(batch.n_reads):
+                if batch.mapq[r] > 0:
+                    self._populate_read(state, r, batch, min_snp_baseq,
+                                        min_indel_baseq)
+            if self.matrix_backend is not None:
+                rows, cols, deltas = accumulator.arrays()
+                image += self.matrix_backend(rows, cols, deltas, image.shape)
+
+        denom = np.maximum(1.0, coverage.astype(np.float64))
+        snp_hit = (snp_count / denom) >= snp_freq_threshold
+        insert_hit = (insert_count / denom) >= insert_freq_threshold
+        delete_hit = (delete_count / denom) >= delete_freq_threshold
+        eligible = ((snp_hit | insert_hit | delete_hit)
+                    & (coverage >= min_coverage_threshold))
+        position_stream = self.positions[:region_size]
+        region_stream = (position_stream - self.ref_start).astype(np.int64)
+        in_candidate_region = ((position_stream >= candidate_region_start)
+                               & (position_stream <= candidate_region_end))
+        keep = eligible[region_stream] & in_candidate_region
+        filtered_positions = position_stream[keep].tolist()
         snp_pass = np.zeros(n_ref, bool)
         insert_pass = np.zeros(n_ref, bool)
         delete_pass = np.zeros(n_ref, bool)
-        for i in range(region_size):
-            pos = int(self.positions[i])
-            region_index = pos - self.ref_start
-            denom = max(1.0, float(coverage[region_index]))
-            snp_fraction = snp_count[region_index] / denom
-            insert_fraction = insert_count[region_index] / denom
-            delete_fraction = delete_count[region_index] / denom
-            if (snp_fraction >= snp_freq_threshold
-                    or insert_fraction >= insert_freq_threshold
-                    or delete_fraction >= delete_freq_threshold):
-                if (candidate_region_start <= pos <= candidate_region_end
-                        and coverage[region_index]
-                        >= min_coverage_threshold):
-                    filtered_positions.append(pos)
-                    if snp_fraction >= snp_freq_threshold:
-                        snp_pass[region_index] = True
-                    if insert_fraction >= insert_freq_threshold:
-                        insert_pass[region_index] = True
-                    if delete_fraction >= delete_freq_threshold:
-                        delete_pass[region_index] = True
+        kept_regions = region_stream[keep]
+        snp_pass[kept_regions[snp_hit[kept_regions]]] = True
+        insert_pass[kept_regions[insert_hit[kept_regions]]] = True
+        delete_pass[kept_regions[delete_hit[kept_regions]]] = True
 
         # HP clamps EVERY feature column (region_summary_hp.cpp:763-768)
         np.clip(image[:region_size], MIN_COLOR, MAX_COLOR,
@@ -281,11 +311,15 @@ class RegionalSummaryHP(RegionalSummary):
         self.labels = np.zeros(region_size + 1, np.uint16)
         self.labels_variant_type = np.zeros(region_size + 1, np.uint16)
         if train_mode and self._labels_hp1 is not None:
-            for i in range(len(self._labels_hp1)):
-                self.labels[i] = get_label_index(self._labels_hp1[i],
-                                                 self._labels_hp2[i])
-                self.labels_variant_type[i] = get_variant_type_label_index(
-                    self._type_hp1[i], self._type_hp2[i])
+            from .pileup_ref import _TYPE_PAIR_TABLE, compute_pair_labels
+
+            self.labels = compute_pair_labels(self._labels_hp1,
+                                              self._labels_hp2)
+            type_h1 = np.asarray(self._type_hp1, np.int64)
+            type_h2 = np.asarray(self._type_hp2, np.int64)
+            self.labels_variant_type = _TYPE_PAIR_TABLE[
+                np.minimum(type_h1, type_h2),
+                np.maximum(type_h1, type_h2)].astype(np.uint16)
 
         windows: list[CandidateWindow] = []
         half = candidate_window_size // 2

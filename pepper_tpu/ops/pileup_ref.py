@@ -72,6 +72,18 @@ def get_reference_feature_value(base: str) -> int:
     return {"A": 1, "C": 2, "G": 3, "T": 4}.get(base, 5)
 
 
+# vectorized ref-base encoding table (A/C/G/T upper+lower -> 1..4, else 5)
+_REF_VALUE_TABLE = np.full(256, 5, np.int64)
+for _b, _v in (("A", 1), ("C", 2), ("G", 3), ("T", 4)):
+    _REF_VALUE_TABLE[ord(_b)] = _v
+    _REF_VALUE_TABLE[ord(_b.lower())] = _v
+
+
+def encode_reference_values(reference_sequence: str) -> np.ndarray:
+    return _REF_VALUE_TABLE[
+        np.frombuffer(reference_sequence.encode("latin-1"), np.uint8)]
+
+
 _FEATURE_BY_BASE = {"A": 1, "C": 2, "G": 3, "T": 4, "I": 5, "D": 6}
 
 
@@ -106,6 +118,26 @@ _TYPE_PAIR_LABEL = {
 def get_variant_type_label_index(type_h1: int, type_h2: int) -> int:
     key = (min(type_h1, type_h2), max(type_h1, type_h2))
     return _TYPE_PAIR_LABEL[key]
+
+
+_TYPE_PAIR_TABLE = np.zeros((4, 4), np.uint16)
+for (_a, _b), _idx in _TYPE_PAIR_LABEL.items():
+    _TYPE_PAIR_TABLE[_a, _b] = _idx
+
+# 256x256 char-pair -> 28-class label table (symmetric lookup)
+_PAIR_LABEL_TABLE = np.zeros((256, 256), np.uint16)
+for _i, _pair in enumerate(_BASE_LABELS):
+    for _c1 in (_pair[0], _pair[0].lower()):
+        for _c2 in (_pair[1], _pair[1].lower()):
+            _PAIR_LABEL_TABLE[ord(_c1), ord(_c2)] = _i
+            _PAIR_LABEL_TABLE[ord(_c2), ord(_c1)] = _i
+
+
+def compute_pair_labels(labels_hp1, labels_hp2) -> np.ndarray:
+    """Vectorized get_label_index over two per-position char lists."""
+    a = np.frombuffer("".join(labels_hp1).encode("latin-1"), np.uint8)
+    b = np.frombuffer("".join(labels_hp2).encode("latin-1"), np.uint8)
+    return _PAIR_LABEL_TABLE[a, b]
 
 
 def _truth_candidate_string(record: TruthRecord) -> str:
@@ -161,8 +193,9 @@ class RegionalSummary:
 
     def __init__(self, contig: str, ref_start: int, ref_end: int,
                  reference_sequence: str, generate_indels: bool = False,
-                 matrix_backend=None):
+                 matrix_backend=None, use_native: bool = False):
         self.matrix_backend = matrix_backend
+        self.use_native = use_native and not generate_indels
         self.contig = contig
         self.ref_start = ref_start
         self.ref_end = ref_end
@@ -439,61 +472,90 @@ class RegionalSummary:
         n_ref = self.ref_end - self.ref_start + 1
         region_size = n_ref + self.total_observed_insert_bases
 
+        from collections import defaultdict
+
         image = np.zeros((region_size + 1, feature_size), np.int64)
         coverage = np.zeros(n_ref, np.int64)
         snp_count = np.zeros(n_ref, np.int64)
         insert_count = np.zeros(n_ref, np.int64)
         delete_count = np.zeros(n_ref, np.int64)
-        allele_map = [dict() for _ in range(region_size + 1)]
-        allele_fwd = [dict() for _ in range(region_size + 1)]
-        allele_rev = [dict() for _ in range(region_size + 1)]
+        allele_map = defaultdict(dict)
+        allele_fwd = defaultdict(dict)
+        allele_rev = defaultdict(dict)
 
         # reference channel 0 (region_summary.cpp:174-190)
-        for pos in range(self.ref_start, self.ref_end + 1):
-            value = get_reference_feature_value(
-                self.reference_sequence[pos - self.ref_start])
-            base_index = self._base_index(pos)
-            image[base_index, 0] = value
-            for j in range(1,
-                           int(self.max_observed_insert[pos - self.ref_start])
-                           + 1):
-                image[base_index + j, 0] = value
+        ref_values = encode_reference_values(self.reference_sequence[:n_ref])
+        if self.total_observed_insert_bases == 0:
+            image[:n_ref, 0] = ref_values
+        else:
+            for pos in range(self.ref_start, self.ref_end + 1):
+                value = ref_values[pos - self.ref_start]
+                base_index = self._base_index(pos)
+                image[base_index, 0] = value
+                for j in range(1, int(
+                        self.max_observed_insert[pos - self.ref_start]) + 1):
+                    image[base_index + j, 0] = value
 
-        accumulator = image if self.matrix_backend is None else EventMatrix()
-        state = (accumulator, coverage, snp_count, insert_count,
-                 delete_count, allele_map, allele_fwd, allele_rev)
-        for r in range(batch.n_reads):
-            if batch.mapq[r] > 0:
-                self._populate_read(state, r, batch, min_snp_baseq,
-                                    min_indel_baseq)
-        if self.matrix_backend is not None:
-            rows, cols, deltas = accumulator.arrays()
-            image += self.matrix_backend(rows, cols, deltas, image.shape)
+        if self.use_native:
+            from .native_pileup import run_native_pileup
 
-        # per-position frequency gates (region_summary.cpp:634-654)
-        filtered_positions = []
+            native = run_native_pileup(batch, self.reference_sequence,
+                                       self.ref_start, self.ref_end,
+                                       min_snp_baseq, min_indel_baseq,
+                                       hp_mode=False)
+            image += native.image
+            coverage[:] = native.coverage
+            snp_count[:] = native.snp_count
+            insert_count[:] = native.insert_count
+            delete_count[:] = native.delete_count
+            for i, candidate in enumerate(native.allele_strings):
+                region_index = int(native.allele_pos[i])
+                allele_map[region_index][candidate] = \
+                    int(native.allele_total[i])
+                allele_fwd[region_index][candidate] = \
+                    int(native.allele_fwd[i])
+                allele_rev[region_index][candidate] = \
+                    int(native.allele_rev[i])
+        else:
+            accumulator = (image if self.matrix_backend is None
+                           else EventMatrix())
+            state = (accumulator, coverage, snp_count, insert_count,
+                     delete_count, allele_map, allele_fwd, allele_rev)
+            for r in range(batch.n_reads):
+                if batch.mapq[r] > 0:
+                    self._populate_read(state, r, batch, min_snp_baseq,
+                                        min_indel_baseq)
+            if self.matrix_backend is not None:
+                rows, cols, deltas = accumulator.arrays()
+                image += self.matrix_backend(rows, cols, deltas, image.shape)
+
+        # per-position frequency gates (region_summary.cpp:634-654),
+        # vectorized over the (duplicated-at-insert-columns) position list
+        denom = np.maximum(1.0, coverage.astype(np.float64))
+        snp_fraction = snp_count / denom
+        insert_fraction = insert_count / denom
+        delete_fraction = delete_count / denom
+        snp_hit = snp_fraction >= snp_freq_threshold
+        insert_hit = insert_fraction >= insert_freq_threshold
+        delete_hit = delete_fraction >= delete_freq_threshold
+        any_hit = snp_hit | insert_hit | delete_hit
+        eligible = any_hit & (coverage >= min_coverage_threshold)
+
+        # expanded-coordinate view: the reference iterates positions[] which
+        # repeats a position once per insert column (duplicates preserved)
+        position_stream = self.positions[:region_size]
+        region_stream = (position_stream - self.ref_start).astype(np.int64)
+        in_candidate_region = ((position_stream >= candidate_region_start)
+                               & (position_stream <= candidate_region_end))
+        keep = eligible[region_stream] & in_candidate_region
+        filtered_positions = position_stream[keep].tolist()
         snp_pass = np.zeros(n_ref, bool)
         insert_pass = np.zeros(n_ref, bool)
         delete_pass = np.zeros(n_ref, bool)
-        for i in range(region_size):
-            pos = int(self.positions[i])
-            region_index = pos - self.ref_start
-            denom = max(1.0, float(coverage[region_index]))
-            snp_fraction = snp_count[region_index] / denom
-            insert_fraction = insert_count[region_index] / denom
-            delete_fraction = delete_count[region_index] / denom
-            if (snp_fraction >= snp_freq_threshold
-                    or insert_fraction >= insert_freq_threshold
-                    or delete_fraction >= delete_freq_threshold):
-                if (candidate_region_start <= pos <= candidate_region_end
-                        and coverage[region_index] >= min_coverage_threshold):
-                    filtered_positions.append(pos)
-                    if snp_fraction >= snp_freq_threshold:
-                        snp_pass[region_index] = True
-                    if insert_fraction >= insert_freq_threshold:
-                        insert_pass[region_index] = True
-                    if delete_fraction >= delete_freq_threshold:
-                        delete_pass[region_index] = True
+        kept_regions = region_stream[keep]
+        snp_pass[kept_regions[snp_hit[kept_regions]]] = True
+        insert_pass[kept_regions[insert_hit[kept_regions]]] = True
+        delete_pass[kept_regions[delete_hit[kept_regions]]] = True
 
         # clamp only columns [11, 25) over the first region_size rows
         cs, ce = ImageOptions.CLAMP_COL_START, ImageOptions.CLAMP_COL_END
@@ -503,11 +565,13 @@ class RegionalSummary:
         self.labels = np.zeros(region_size + 1, np.uint16)
         self.labels_variant_type = np.zeros(region_size + 1, np.uint16)
         if train_mode and self._labels_hp1 is not None:
-            for i in range(len(self._labels_hp1)):
-                self.labels[i] = get_label_index(self._labels_hp1[i],
-                                                 self._labels_hp2[i])
-                self.labels_variant_type[i] = get_variant_type_label_index(
-                    self._type_hp1[i], self._type_hp2[i])
+            self.labels = compute_pair_labels(self._labels_hp1,
+                                              self._labels_hp2)
+            type_h1 = np.asarray(self._type_hp1, np.int64)
+            type_h2 = np.asarray(self._type_hp2, np.int64)
+            self.labels_variant_type = _TYPE_PAIR_TABLE[
+                np.minimum(type_h1, type_h2),
+                np.maximum(type_h1, type_h2)].astype(np.uint16)
 
         windows: list[CandidateWindow] = []
         half = candidate_window_size // 2

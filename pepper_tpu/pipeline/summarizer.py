@@ -68,16 +68,17 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
         expected_len = region_end - region_start + 1
         if len(ref_seq) < expected_len:
             ref_seq = ref_seq + "N" * (expected_len - len(ref_seq))
+        use_native = getattr(options, "use_native_pileup", True)
         if options.use_hp_info:
             from ..ops.pileup_hp import RegionalSummaryHP
 
             summary = RegionalSummaryHP(contig, region_start, region_end,
-                                        ref_seq)
+                                        ref_seq, use_native=use_native)
             window_size = ImageOptionsHP.CANDIDATE_WINDOW_SIZE
             feature_size = ImageOptionsHP.IMAGE_HEIGHT
         else:
             summary = RegionalSummary(contig, region_start, region_end,
-                                      ref_seq)
+                                      ref_seq, use_native=use_native)
             window_size = ImageOptions.CANDIDATE_WINDOW_SIZE
             feature_size = ImageOptions.IMAGE_HEIGHT
         summary.generate_max_insert_summary(all_reads)

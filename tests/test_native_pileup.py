@@ -1,0 +1,105 @@
+"""Fuzz equivalence: native C++ pileup pass vs the Python golden walkers,
+across random reads with indels, mixed qualities, strands and HP tags."""
+
+import numpy as np
+import pytest
+
+from pepper_tpu.io.bam import BamReader
+from pepper_tpu.io.bam_writer import BamRecord, write_bam
+from pepper_tpu.ops.pileup_hp import RegionalSummaryHP
+from pepper_tpu.ops.pileup_ref import RegionalSummary
+
+THRESHOLDS = dict(
+    min_snp_baseq=10, min_indel_baseq=10, snp_freq_threshold=0.10,
+    insert_freq_threshold=0.15, delete_freq_threshold=0.15,
+    min_coverage_threshold=2, snp_candidate_freq_threshold=0.10,
+    indel_candidate_freq_threshold=0.10, candidate_support_threshold=1,
+    skip_indels=False,
+)
+
+
+def fuzz_reads(ref, rng, n_reads=60):
+    reads = []
+    for i in range(n_reads):
+        start = int(rng.randint(0, len(ref) - 60))
+        cursor = start
+        seq_parts = []
+        quals = []
+        cigar = ""
+        target = min(len(ref), cursor + int(rng.randint(30, 120)))
+        while cursor < target:
+            kind = rng.rand()
+            if kind < 0.70:  # match stretch (with occasional mismatches)
+                length = min(int(rng.randint(5, 30)), target - cursor)
+                chunk = list(ref[cursor:cursor + length])
+                for j in range(length):
+                    if rng.rand() < 0.08:
+                        chunk[j] = "ACGT"[rng.randint(4)]
+                seq_parts.append("".join(chunk))
+                quals += [int(rng.randint(0, 40))] * length
+                cigar += f"{length}M"
+                cursor += length
+            elif kind < 0.85 and seq_parts:  # insertion
+                length = int(rng.randint(1, 6))
+                seq_parts.append("".join("ACGT"[rng.randint(4)]
+                                         for _ in range(length)))
+                quals += [int(rng.randint(0, 40))] * length
+                cigar += f"{length}I"
+            else:  # deletion
+                if not seq_parts:
+                    continue
+                length = min(int(rng.randint(1, 6)), target - cursor)
+                if length <= 0:
+                    continue
+                cigar += f"{length}D"
+                cursor += length
+        seq = "".join(seq_parts)
+        if not seq or not cigar.endswith("M"):
+            # ensure the cigar ends with a match so pos_end is sane
+            seq += ref[cursor:cursor + 5]
+            quals += [30] * 5
+            cigar += "5M"
+        flag = 0x10 if rng.rand() < 0.5 else 0
+        hp = int(rng.randint(0, 3))
+        reads.append(BamRecord(f"r{i}", 0, start, 60, cigar, seq, quals,
+                               flag=flag, hp=hp))
+    reads.sort(key=lambda r: r.pos)
+    return reads
+
+
+def compare_windows(a, b):
+    assert len(a) == len(b)
+    for wa, wb in zip(a, b):
+        assert (wa.contig, wa.position, wa.depth) == \
+            (wb.contig, wb.position, wb.depth)
+        assert wa.candidates == wb.candidates
+        assert wa.candidate_frequency == wb.candidate_frequency
+        np.testing.assert_array_equal(wa.image, wb.image)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("hp_mode", [False, True])
+def test_native_matches_python(tmp_path, seed, hp_mode):
+    rng = np.random.RandomState(seed)
+    ref = "".join("ACGT"[i] for i in rng.randint(0, 4, size=500))
+    reads = fuzz_reads(ref, rng)
+    path = str(tmp_path / f"fuzz_{seed}_{hp_mode}.bam")
+    write_bam(path, [("chr1", len(ref))], reads)
+    batch = BamReader(path).get_reads("chr1", 0, len(ref) - 1)
+    assert batch.n_reads > 0
+
+    cls = RegionalSummaryHP if hp_mode else RegionalSummary
+    kwargs = dict(THRESHOLDS)
+    kwargs.update(candidate_region_start=0,
+                  candidate_region_end=len(ref) - 1)
+
+    python_rs = cls("chr1", 0, len(ref) - 1, ref)
+    python_rs.generate_max_insert_summary(batch)
+    python_windows = python_rs.generate_summary(batch, **kwargs)
+
+    native_rs = cls("chr1", 0, len(ref) - 1, ref, use_native=True)
+    native_rs.generate_max_insert_summary(batch)
+    native_windows = native_rs.generate_summary(batch, **kwargs)
+
+    assert len(python_windows) > 0
+    compare_windows(native_windows, python_windows)
