@@ -22,6 +22,9 @@ def _add_common(parser, need_model=False):
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--downsample_rate", type=float, default=1.0)
     parser.add_argument("--dry", action="store_true", default=False)
+    parser.add_argument("--no_realignment", dest="realignment",
+                        action="store_false", default=True,
+                        help="Skip SW local realignment before summarizing.")
     if need_model:
         parser.add_argument("-m", "--model_path", default="")
 

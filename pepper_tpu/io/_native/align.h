@@ -1,0 +1,22 @@
+// Affine-gap local alignment (Smith-Waterman/Gotoh) — fills the role of
+// the reference's vendored SSW library (pepper/modules/src/local_reassembly/
+// ssw.c, scoring match=4 mismatch=6 gap_open=8 gap_ext=2, aligner.h:22-28)
+// for read realignment and overlap stitching.  Clean-room scalar DP with
+// traceback; the CIGAR uses SSW's conventions ('='/'X' ops, soft clips for
+// unaligned query ends).
+#pragma once
+
+#include <cstdint>
+#include <string>
+
+struct AlignmentResult {
+  int best_score = 0;
+  int64_t ref_begin = -1, ref_end = -1;      // inclusive target window
+  int64_t query_begin = -1, query_end = -1;  // inclusive query window
+  std::string cigar;                         // e.g. "2S10=1X3I8=" (query)
+};
+
+AlignmentResult smith_waterman(const std::string& target,
+                               const std::string& query, int match_score,
+                               int mismatch_penalty, int gap_open_penalty,
+                               int gap_extend_penalty);

@@ -2,6 +2,7 @@
 #include <cstring>
 #include <string>
 
+#include "align.h"
 #include "bam.h"
 #include "fasta.h"
 #include "pileup.h"
@@ -79,6 +80,36 @@ long long pepper_rb_cigar_size(void* batch) {
 }
 long long pepper_rb_names_size(void* batch) {
   return static_cast<long long>(static_cast<ReadBatch*>(batch)->names.size());
+}
+
+// ---------------- Alignment ----------------
+
+void* pepper_align(const char* target, const char* query, int match_score,
+                   int mismatch_penalty, int gap_open, int gap_ext) {
+  return new AlignmentResult(smith_waterman(target, query, match_score,
+                                            mismatch_penalty, gap_open,
+                                            gap_ext));
+}
+
+void pepper_align_free(void* a) { delete static_cast<AlignmentResult*>(a); }
+
+int pepper_align_score(void* a) {
+  return static_cast<AlignmentResult*>(a)->best_score;
+}
+long long pepper_align_ref_begin(void* a) {
+  return static_cast<AlignmentResult*>(a)->ref_begin;
+}
+long long pepper_align_ref_end(void* a) {
+  return static_cast<AlignmentResult*>(a)->ref_end;
+}
+long long pepper_align_query_begin(void* a) {
+  return static_cast<AlignmentResult*>(a)->query_begin;
+}
+long long pepper_align_query_end(void* a) {
+  return static_cast<AlignmentResult*>(a)->query_end;
+}
+const char* pepper_align_cigar(void* a) {
+  return static_cast<AlignmentResult*>(a)->cigar.c_str();
 }
 
 // ---------------- Pileup ----------------

@@ -138,6 +138,9 @@ class PepperOptions:
     include_supplementary: bool = False
     use_hp_info: bool = False
 
+    # polish mode
+    realignment: bool = True
+
     # inference
     batch_size: int = 512
     num_workers: int = 0

@@ -94,16 +94,25 @@ def reservoir_downsample_indices(n_reads: int, total_allowed: int,
 
 
 def summarize_interval(bam_handler, fasta_handler, contig, start, end,
-                       downsample_rate: float = 1.0):
+                       downsample_rate: float = 1.0,
+                       realignment: bool = True):
     """One interval -> (images, labels, positions, chunk_ids)
-    (pepper AlignmentSummarizer.create_summary inference path :295-358,
-    without SSW realignment — see polish/realign.py for that stage)."""
+    (pepper AlignmentSummarizer.create_summary inference path :295-358;
+    the local-realignment stage mirrors reads_to_reference_realignment
+    :159-177)."""
     reads = bam_handler.get_reads(contig, max(0, start), end, False, 0, 0)
     if reads.n_reads == 0:
         return [], [], [], []
     sample = reservoir_downsample_indices(reads.n_reads, MAX_READS)
     if sample is not None:
         reads = reads.subset(sample)
+    if realignment and reads.n_reads > 0:
+        from .realign import ALIGNMENT_SAFE_BASES, realign_reads
+
+        align_end = end + ALIGNMENT_SAFE_BASES
+        align_ref = fasta_handler.get_reference_sequence(contig, start,
+                                                         align_end)
+        reads = realign_reads(reads, align_ref, start, align_end)
     ref_seq = fasta_handler.get_reference_sequence(contig, start, end + 1)
     expected = end - start + 1
     if len(ref_seq) < expected:
@@ -130,7 +139,8 @@ def make_polish_images(options, output_dir: str):
         for contig, start, end in intervals:
             images, labels, positions, chunk_ids = summarize_interval(
                 bam_handler, fasta_handler, contig, start, end,
-                options.downsample_rate)
+                options.downsample_rate,
+                realignment=getattr(options, "realignment", True))
             region = (contig, start, end)
             for i, image in enumerate(images):
                 position = positions[i][:, 0]

@@ -1,0 +1,91 @@
+"""Native Smith-Waterman aligner, read realignment and StitchV2 tests."""
+
+import numpy as np
+import pytest
+
+from pepper_tpu.io.align import align
+from pepper_tpu.io.bam import BamReader, OP_DEL, OP_EQUAL, OP_INS
+from pepper_tpu.io.bam_writer import BamRecord, write_bam
+from pepper_tpu.polish.realign import realign_reads
+from pepper_tpu.polish.stitch_v2 import alignment_stitch
+
+from simulate import random_reference
+
+
+def test_align_perfect_match():
+    target = "ACGTACGTACGTACGT"
+    result = align(target, target)
+    assert result.best_score == 4 * len(target)
+    assert result.cigar_string == f"{len(target)}="
+    assert result.reference_begin == 0
+    assert result.query_begin == 0
+    assert result.reference_end == len(target) - 1
+
+
+def test_align_substring_with_softclips():
+    target = random_reference(200, seed=1)
+    query = "TTTT" + target[50:90] + "GGGG"
+    result = align(target, query)
+    assert result.reference_begin == 50
+    assert result.query_begin == 4
+    assert "40=" in result.cigar_string
+    assert result.cigar_string.startswith("4S")
+    assert result.cigar_string.endswith("4S") or \
+        result.cigar_string.endswith("4S".replace("4", "4"))
+
+
+def test_align_snp_and_indel():
+    target = random_reference(120, seed=2)
+    # query with SNP at offset 20 and 2bp deletion at offset 40
+    q = list(target[10:100])
+    q[20] = {"A": "C", "C": "A", "G": "T", "T": "G"}[q[20]]
+    query = "".join(q[:40] + q[42:])
+    result = align(target, query)
+    assert result.reference_begin == 10
+    assert "1X" in result.cigar_string
+    assert "2D" in result.cigar_string
+
+
+def test_align_insertion():
+    target = random_reference(120, seed=3)
+    query = target[10:50] + "TTTTT" + target[50:100] \
+        if target[50] != "T" else target[10:50] + "AAAAA" + target[50:100]
+    result = align(target, query)
+    assert "5I" in result.cigar_string
+
+
+def test_realign_recovers_position(tmp_path):
+    ref = random_reference(500, seed=4)
+    # a read whose BAM alignment is deliberately sloppy: right sequence,
+    # wrong cigar (all M with wrong length mapping)
+    true_seq = ref[100:150] + ref[153:200]  # real 3bp deletion at 150
+    record = BamRecord("r0", 0, 100, 60, f"{len(true_seq)}M", true_seq,
+                       [30] * len(true_seq))
+    path = str(tmp_path / "m.bam")
+    write_bam(path, [("c", 500)], [record])
+    batch = BamReader(path).get_reads("c", 0, 499)
+    realigned = realign_reads(batch, ref, 0, 499)
+    assert realigned.pos[0] == 100
+    cigar = realigned.read_cigar(0)
+    ops = [op for op, _ in cigar]
+    assert OP_DEL in ops
+    del_len = sum(length for op, length in cigar if op == OP_DEL)
+    assert del_len == 3
+    assert realigned.pos_end[0] == 200
+
+
+def test_stitch_v2_overlap():
+    ref = random_reference(300, seed=5)
+    left = ref[0:180]
+    right = ref[150:300]
+    contig, start, end, seq = alignment_stitch([
+        ("c", 0, 180, left), ("c", 150, 300, right)])
+    assert contig == "c"
+    assert seq == ref
+
+
+def test_stitch_v2_gap_concatenates():
+    ref = random_reference(300, seed=6)
+    contig, start, end, seq = alignment_stitch([
+        ("c", 0, 100, ref[0:100]), ("c", 150, 300, ref[150:300])])
+    assert seq == ref[0:100] + ref[150:300]
