@@ -117,9 +117,11 @@ class PredictionStore:
     def __exit__(self, *args):
         self.close()
 
-    def write_prediction(self, batch_no: int, predictions):
+    def write_prediction(self, batch_no, predictions):
         name = f"batch_{batch_no}"
         if name in self._names or not predictions:
+            return
+        if f"predictions/{name}" in self.file_handler:  # resumed run
             return
         self._names.add(name)
         grp = f"predictions/{name}"

@@ -52,6 +52,73 @@ def generate_windows(options, intervals, bed_list, threads: int = 1):
     return all_windows
 
 
+def call_variant_sharded(options, params=None, manifest_dir=None):
+    """Multi-host / resumable call_variant: intervals are claimed
+    deterministically per host, completed intervals are skipped on restart
+    (explicit shard completion — no silently dropped regions), per-host
+    predictions land in HDF5 and rank 0 performs the deterministic decode
+    merge (the order-independent global sort, CandidateFinder.py:549-550).
+    """
+    import jax
+
+    from ..io.datastore import PredictionStore
+    from ..parallel.dist import RegionManifest, barrier, shard_intervals
+    from .stages import process_candidates
+
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+
+    os.makedirs(options.output_dir, exist_ok=True)
+    manifest_dir = manifest_dir or os.path.join(options.output_dir,
+                                                "manifest")
+    prediction_dir = os.path.join(options.output_dir, "predictions")
+    os.makedirs(prediction_dir, exist_ok=True)
+
+    bam_handler = BamReader(options.bam)
+    fasta_handler = FastaReader(options.fasta)
+    chr_list, bed_list = get_chromosome_list(options.region, fasta_handler,
+                                             bam_handler, options.region_bed)
+    intervals, _ = build_intervals(chr_list, fasta_handler,
+                                   options.region_size, options.train_mode)
+
+    manifest = RegionManifest(manifest_dir)
+    if process_index == 0:
+        manifest.write(intervals)
+    barrier("manifest-written")
+
+    my_intervals = shard_intervals(intervals, process_index, process_count)
+    pending = [i for i in my_intervals if not manifest.is_done(i)]
+    log_info(f"HOST {process_index}/{process_count}: "
+             f"{len(pending)}/{len(my_intervals)} INTERVALS PENDING")
+
+    if options.dry:
+        predict_fn = fake_predict
+    else:
+        runner = InferenceRunner(params, batch_size=options.batch_size)
+        predict_fn = runner.predict
+
+    output_file = os.path.join(prediction_dir,
+                               f"pepper_prediction_{process_index}.hdf")
+    mode = "a" if os.path.exists(output_file) else "w"
+    with PredictionStore(output_file, mode) as store:
+        for contig, start, end in pending:
+            windows = create_region_summary(options, bam_handler,
+                                            fasta_handler, contig, start,
+                                            end, bed_list)
+            if windows:
+                predictions = predict_fn(windows)
+                # interval-derived batch key so resumed runs never collide
+                store.write_prediction(f"{contig}_{start}_{end}",
+                                       predictions)
+            manifest.mark_done((contig, start, end))
+
+    barrier("predictions-complete")
+    if process_index == 0:
+        return process_candidates(options, prediction_dir,
+                                  options.output_dir)
+    return None
+
+
 def call_variant(options, params=None):
     """Full pipeline: windows -> model -> candidates -> 5 VCFs.
 

@@ -1,0 +1,95 @@
+"""Tests for hyperband search, stage metrics, debug renderers and VCF
+comparison helpers."""
+
+import numpy as np
+
+from pepper_tpu.train.hyperband import Hyperband, sample_config
+from pepper_tpu.utils.profiling import StageTimer
+from pepper_tpu.utils.vcf_compare import compare_vcfs, vcf_statistics
+from pepper_tpu.utils.pileup_text import render_matrix
+
+
+def test_hyperband_finds_best_config():
+    # synthetic objective: accuracy peaks at lr=1e-3, improves with budget
+    calls = []
+
+    def try_params(n_iterations, config):
+        calls.append((n_iterations, config["learning_rate"]))
+        lr_quality = -abs(np.log10(config["learning_rate"]) + 3)
+        accuracy = 80 + lr_quality + 0.1 * n_iterations
+        return {"loss": -accuracy, "accuracy": accuracy, "checkpoint": ""}
+
+    hyperband = Hyperband(try_params, max_iter=9, eta=3, seed=1)
+    best = hyperband.run()
+    assert best is not None
+    assert len(hyperband.results) == len(calls) > 5
+    # the winner should be among the better lrs sampled
+    sampled = sorted(set(lr for _, lr in calls),
+                     key=lambda lr: abs(np.log10(lr) + 3))
+    assert abs(np.log10(best["config"]["learning_rate"]) + 3) <= \
+        abs(np.log10(sampled[len(sampled) // 2]) + 3)
+
+
+def test_sample_config_ranges():
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        config = sample_config(rng)
+        assert 1e-5 <= config["learning_rate"] <= 1e-2
+        assert 1e-7 <= config["weight_decay"] <= 1e-3
+
+
+def test_stage_timer(capsys):
+    with StageTimer("TEST_STAGE", unit="windows") as timer:
+        timer.add(100)
+    captured = capsys.readouterr()
+    assert "TEST_STAGE ELAPSED TIME" in captured.err
+    assert "windows/s" in captured.err
+
+
+def test_render_matrix():
+    image = np.zeros((4, 26), np.int32)
+    image[0, 0] = 1
+    image[1, 8] = -5
+    text = render_matrix(image, "ACGT")
+    assert "REFB:" in text and "AFRW:" in text
+    assert "REF:" in text
+    assert " -5" in text
+
+
+def _write_vcf(path, records):
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts"]
+    for contig, pos, ref, alt, gt, vaf in records:
+        lines.append(f"{contig}\t{pos + 1}\t.\t{ref}\t{alt}\t60\tPASS\t.\t"
+                     f"GT:VAF\t{gt}:{vaf}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_compare_vcfs_and_stats(tmp_path):
+    a = str(tmp_path / "a.vcf")
+    b = str(tmp_path / "b.vcf")
+    _write_vcf(a, [
+        ("chr1", 100, "A", "T", "0/1", "0.5"),
+        ("chr1", 200, "C", "G", "1/1", "0.9"),
+        ("chr1", 300, "CAA", "C", "0/1", "0.4"),
+    ])
+    _write_vcf(b, [
+        ("chr1", 100, "A", "T", "0/1", "0.5"),      # match
+        ("chr1", 200, "C", "A", "1/1", "0.9"),      # allele mismatch
+        ("chr1", 400, "G", "GTT", "0/1", "0.3"),    # only in b
+    ])
+    result = compare_vcfs(a, b)
+    summary = result.summary()
+    assert summary["matches"] == 1
+    assert summary["allele_mismatches"] == 1
+    assert summary["only_in_a"] == 1
+    assert summary["only_in_b"] == 1
+
+    stats = vcf_statistics(a)
+    assert stats["counts"]["records"] == 3
+    assert stats["counts"]["snp"] == 2
+    assert stats["counts"]["deletion"] == 1
+    assert stats["counts"]["het"] == 2
+    assert stats["counts"]["hom_alt"] == 1
+    assert len(stats["vafs"]) == 3
