@@ -64,6 +64,10 @@ def _add_inference_args(parser):
                         help="Label-passthrough backend (pipeline test).")
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--quantized", action="store_true", default=False,
+                        help="Serve int8-quantized weights.")
+    parser.add_argument("--no_quantized", dest="quantized",
+                        action="store_false")
 
 
 def _add_candidate_args(parser):
@@ -160,6 +164,10 @@ def build_parser():
     _add_inference_args(p)
     p.add_argument("--use_hp_info", action="store_true", default=False)
 
+    p = sub.add_parser("backend_stat", help="Print JAX backend/device info "
+                       "(the reference's torch_stat).")
+    p = sub.add_parser("download_models", help="Model acquisition notes "
+                       "(offline environments).")
     p = sub.add_parser("version")
     return parser
 
@@ -183,6 +191,23 @@ def main(argv=None):
         from .. import __version__
 
         print(f"pepper_tpu {__version__}")
+        return 0
+    if args.sub_command == "backend_stat":
+        import jax
+
+        print(f"jax backend: {jax.default_backend()}")
+        print(f"devices: {jax.devices()}")
+        print(f"process {jax.process_index()}/{jax.process_count()}")
+        print(f"local device count: {jax.local_device_count()}")
+        return 0
+    if args.sub_command == "download_models":
+        print("pepper_tpu uses native .npz checkpoints (train with "
+              "`pepper_tpu train_model`) and can convert reference PEPPER "
+              "torch .pkl checkpoints directly: pass them to -m/--model_path "
+              "and they are converted on load "
+              "(pepper_tpu.models.torch_convert). Reference models are "
+              "published at https://storage.googleapis.com/pepper-models/ — "
+              "download them on a machine with network access.")
         return 0
 
     if args.sub_command == "merge_variants":

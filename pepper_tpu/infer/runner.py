@@ -19,7 +19,8 @@ class InferenceRunner:
     def __init__(self, params, batch_size: int = 512,
                  compute_dtype: str = "float32",
                  window: int = ImageOptions.CANDIDATE_WINDOW_SIZE + 1,
-                 features: int = ImageOptions.IMAGE_HEIGHT):
+                 features: int = ImageOptions.IMAGE_HEIGHT,
+                 quantized: bool = False):
         import jax.numpy as jnp
 
         self.params = params
@@ -28,6 +29,19 @@ class InferenceRunner:
         self.features = features
         self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
                               else jnp.float32)
+        self.quantized = quantized
+        if quantized:
+            from ..models.quantize import quantize_params
+
+            self._q_params, self._q_scales = quantize_params(params)
+
+    def _forward(self, padded):
+        if self.quantized:
+            from ..models.quantize import transducer_infer_quantized
+
+            return transducer_infer_quantized(self._q_params, self._q_scales,
+                                              padded)
+        return transducer_infer(self.params, padded, self.compute_dtype)
 
     def predict_images(self, images: np.ndarray) -> np.ndarray:
         """(N, window, features) -> (N, 3) float probabilities; pads the
@@ -41,8 +55,7 @@ class InferenceRunner:
             padded = np.zeros((self.batch_size, self.window, self.features),
                               np.float32)
             padded[:len(chunk)] = chunk
-            probs = np.asarray(
-                transducer_infer(self.params, padded, self.compute_dtype))
+            probs = np.asarray(self._forward(padded))
             probs_out[start:start + len(chunk)] = probs[:len(chunk)]
         return probs_out
 

@@ -145,6 +145,7 @@ class PepperOptions:
     batch_size: int = 512
     num_workers: int = 0
     dry: bool = False
+    quantized: bool = False
 
     # candidate finding
     allowed_multiallelics: int | None = None

@@ -94,7 +94,8 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     if options.dry:
         predict_fn = fake_predict
     else:
-        runner = InferenceRunner(params, batch_size=options.batch_size)
+        runner = InferenceRunner(params, batch_size=options.batch_size,
+                                 quantized=options.quantized)
         predict_fn = runner.predict
 
     output_file = os.path.join(prediction_dir,
@@ -152,7 +153,8 @@ def call_variant(options, params=None):
         runner = InferenceRunner(
             params, batch_size=options.batch_size,
             window=size_options.CANDIDATE_WINDOW_SIZE + 1,
-            features=size_options.IMAGE_HEIGHT)
+            features=size_options.IMAGE_HEIGHT,
+            quantized=options.quantized)
         predictions = runner.predict(windows)
     log_info("FINISHED PREDICTION")
 
