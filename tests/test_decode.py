@@ -1,0 +1,242 @@
+"""Decode-path branch coverage: multiallelic assembly, suffix
+normalization, homopolymer thresholds, QV routing, VAF overrides and
+variant merging — driven with synthetic predictions (model bypassed)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from pepper_tpu.decode.candidate_finder import (
+    CandidatePrediction, decode_predictions, find_candidates,
+    repeat_annotation)
+from pepper_tpu.decode.vcf_writer import VCFWriter
+from pepper_tpu.io.bam_writer import write_fasta
+from pepper_tpu.io.fasta import FastaReader
+from pepper_tpu.options import PepperOptions
+from pepper_tpu.presets import set_parameters
+
+
+@pytest.fixture
+def fasta(tmp_path):
+    # non-repetitive sequence, with a homopolymer island at 200..208
+    rng = np.random.RandomState(9)
+    bases = []
+    prev = ""
+    for _ in range(400):
+        choices = [b for b in "ACGT" if b != prev]
+        prev = choices[rng.randint(3)]
+        bases.append(prev)
+    seq = "".join(bases)
+    seq = seq[:200] + "AAAAAAAA" + seq[208:]
+    path = str(tmp_path / "ref.fa")
+    write_fasta(path, {"chr1": seq})
+    return FastaReader(path), seq
+
+
+def make_options(**overrides):
+    options = PepperOptions(ont_r9_guppy5_sup=True,
+                            sub_command="call_variant")
+    options = set_parameters(options)
+    for key, value in overrides.items():
+        setattr(options, key, value)
+    return options
+
+
+def prediction(contig, pos, candidates, freqs, probs, depth=50):
+    return CandidatePrediction(
+        contig=contig, position=pos, depth=depth, candidates=candidates,
+        candidate_frequency=freqs,
+        prediction_base=np.asarray(probs, np.float64))
+
+
+def run_pipeline(tmp_path, fasta_handler, predictions, options):
+    margin, dv = decode_predictions(options, predictions, fasta_handler)
+    contigs, margin_dict, dv_dict = find_candidates(margin, dv)
+    out = str(tmp_path / "vcfs")
+    os.makedirs(out, exist_ok=True)
+    writer = VCFWriter(contigs, fasta_handler, "S", out, "FULL", "PEPPER",
+                       "VC")
+    totals = writer.write_vcf_records(dv_dict, options)
+    writer.close()
+    records = []
+    with gzip.open(os.path.join(out, "FULL.vcf.gz"), "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip().split("\t")
+            sample = dict(zip(fields[8].split(":"), fields[9].split(":")))
+            records.append(dict(pos=int(fields[1]) - 1, ref=fields[3],
+                                alts=fields[4].split(","),
+                                qual=int(fields[5]), filter=fields[6],
+                                sample=sample))
+    return totals, records, out
+
+
+def test_repeat_annotation_homopolymer():
+    assert max(repeat_annotation("AAAAA", 1)) == 5
+    assert max(repeat_annotation("ACGTACGT", 1)) == 1
+    # kmer=2 repeats
+    assert max(repeat_annotation("ACACACAC", 2)) == 4
+
+
+def test_multiallelic_het_alt_site(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos = 100
+    # two SNP alleles, both het (prediction says het) -> GT 1/2
+    predictions = [
+        prediction("chr1", pos, ["1" + a], [20], [0.02, 0.95, 0.03])
+        for a in ("A", "C") if a != seq[pos]
+    ][:2]
+    options = make_options()
+    totals, records, _ = run_pipeline(tmp_path, fasta_handler, predictions,
+                                      options)
+    assert len(records) == 1
+    record = records[0]
+    assert len(record["alts"]) == 2
+    assert record["sample"]["GT"] == "1/2"
+    assert record["filter"] == "PASS"
+
+
+def test_snp_plus_deletion_suffix_normalization(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos = 120
+    ref_base = seq[pos]
+    alt_base = {"A": "T", "T": "A", "C": "G", "G": "C"}[ref_base]
+    deleted = seq[pos:pos + 3]
+    predictions = [
+        prediction("chr1", pos, ["1" + alt_base], [25], [0.01, 0.97, 0.02]),
+        prediction("chr1", pos, ["3" + deleted], [20], [0.01, 0.96, 0.03]),
+    ]
+    options = make_options()
+    totals, records, _ = run_pipeline(tmp_path, fasta_handler, predictions,
+                                      options)
+    assert len(records) == 1
+    record = records[0]
+    # site ref is the longest ref allele (the deletion's)
+    assert record["ref"] == deleted
+    # the SNP alt is suffix-extended with the deleted ref tail
+    assert alt_base + deleted[1:] in record["alts"]
+    assert ref_base in record["alts"]          # deletion alt
+    assert record["sample"]["GT"] == "1/2"
+
+
+def test_refcall_routed_to_regenotyping(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos = 140
+    alt_base = {"A": "T", "T": "A", "C": "G", "G": "C"}[seq[pos]]
+    # model says hom-ref but the site passes p-value gates (non_alt=0.3)
+    predictions = [prediction("chr1", pos, ["1" + alt_base], [10],
+                              [0.70, 0.30, 0.00])]
+    options = make_options()
+    totals, records, out = run_pipeline(tmp_path, fasta_handler,
+                                        predictions, options)
+    assert records[0]["filter"] == "refCall"
+    assert records[0]["sample"]["GT"] == "0/0"
+    assert totals[2] == 1      # selected for re-genotyping
+    assert totals[1] == 0      # not a confident PEPPER call
+    with gzip.open(os.path.join(out, "VC_SNPs.vcf.gz"), "rt") as f:
+        snp_lines = [l for l in f if not l.startswith("#")]
+    assert len(snp_lines) == 1
+
+
+def test_low_qual_het_routed_to_regenotyping(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos = 160
+    alt_base = {"A": "T", "T": "A", "C": "G", "G": "C"}[seq[pos]]
+    # het with p=0.90 -> qual = -10log10(0.1) = 10 <= snp_q_cutoff 20
+    predictions = [prediction("chr1", pos, ["1" + alt_base], [25],
+                              [0.05, 0.90, 0.05])]
+    options = make_options()
+    totals, records, _ = run_pipeline(tmp_path, fasta_handler, predictions,
+                                      options)
+    assert records[0]["filter"] == "PASS"
+    assert records[0]["qual"] == 10
+    assert totals[2] == 1 and totals[1] == 0
+
+
+def test_homopolymer_site_uses_lc_thresholds(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos = 203  # inside the AAAAAAAA island
+    assert seq[pos] == "A"
+    predictions = [prediction("chr1", pos, ["2AT"], [20],
+                              [0.05, 0.90, 0.05])]
+    # insert_p_value very high, lc p-value low: only the lc gate passes
+    options = make_options(insert_p_value=0.99, insert_p_value_in_lc=0.5)
+    totals, records, _ = run_pipeline(tmp_path, fasta_handler, predictions,
+                                      options)
+    assert len(records) == 1
+    assert records[0]["sample"]["REP"] == "1"
+
+    # at a non-repeat site the same gates reject the candidate
+    pos2 = 260
+    predictions = [prediction("chr1", pos2, ["2" + seq[pos2] + "T"], [20],
+                              [0.05, 0.90, 0.05])]
+    totals2, records2, _ = run_pipeline(tmp_path, fasta_handler,
+                                        predictions, options)
+    assert records2 == []
+
+
+def test_report_snp_above_freq_override(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos = 180
+    alt_base = {"A": "T", "T": "A", "C": "G", "G": "C"}[seq[pos]]
+    # non_alt prediction below p-value, but VAF 0.5 >= report threshold
+    predictions = [prediction("chr1", pos, ["1" + alt_base], [25],
+                              [0.99, 0.01, 0.00])]
+    options = make_options(snp_p_value=0.5, report_snp_above_freq=0.3)
+    totals, records, _ = run_pipeline(tmp_path, fasta_handler, predictions,
+                                      options)
+    assert len(records) == 1
+
+    options2 = make_options(snp_p_value=0.5, report_snp_above_freq=0.9)
+    totals2, records2, _ = run_pipeline(tmp_path, fasta_handler,
+                                        predictions, options2)
+    assert records2 == []
+
+
+def test_merge_variants(tmp_path, fasta):
+    fasta_handler, seq = fasta
+    pos_pepper_only = 100
+    pos_overridden = 140
+    alt1 = {"A": "T", "T": "A", "C": "G", "G": "C"}[seq[pos_pepper_only]]
+    alt2 = {"A": "T", "T": "A", "C": "G", "G": "C"}[seq[pos_overridden]]
+    predictions = [
+        prediction("chr1", pos_pepper_only, ["1" + alt1], [25],
+                   [0.01, 0.98, 0.01]),
+        prediction("chr1", pos_overridden, ["1" + alt2], [25],
+                   [0.01, 0.98, 0.01]),
+    ]
+    options = make_options()
+    totals, records, out = run_pipeline(tmp_path, fasta_handler,
+                                        predictions, options)
+    pepper_vcf = os.path.join(out, "FULL.vcf.gz")
+
+    # fake DeepVariant output overriding pos_overridden
+    dv_path = str(tmp_path / "dv.vcf")
+    with open(dv_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                f"##contig=<ID=chr1,length={len(seq)}>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+                f"chr1\t{pos_overridden + 1}\t.\t{seq[pos_overridden]}\t"
+                f"{alt2}\t55\tPASS\t.\tGT:GQ:DP:AD:VAF\t"
+                "1/1:55:40:5,35:0.875\n")
+
+    class MergeOptions:
+        vcf_pepper = pepper_vcf
+        vcf_deepvariant = dv_path
+        vcf_deepvariant_snps = None
+        vcf_deepvariant_indels = None
+        output_dir = str(tmp_path / "merged")
+
+    from pepper_tpu.decode.merge_variants import merge_vcf_records
+
+    merged_path = merge_vcf_records(MergeOptions())
+    with gzip.open(merged_path, "rt") as f:
+        merged = [line.rstrip().split("\t") for line in f
+                  if not line.startswith("#")]
+    by_pos = {int(r[1]) - 1: r for r in merged}
+    assert by_pos[pos_pepper_only][9].endswith(":P")
+    assert by_pos[pos_overridden][9].endswith(":DV")
+    assert by_pos[pos_overridden][5] == "55"
