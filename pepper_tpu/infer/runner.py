@@ -20,7 +20,7 @@ class InferenceRunner:
                  compute_dtype: str = "float32",
                  window: int = ImageOptions.CANDIDATE_WINDOW_SIZE + 1,
                  features: int = ImageOptions.IMAGE_HEIGHT,
-                 quantized: bool = False):
+                 quantized: bool = False, mesh=None):
         import jax.numpy as jnp
 
         self.params = params
@@ -30,12 +30,26 @@ class InferenceRunner:
         self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
                               else jnp.float32)
         self.quantized = quantized
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip: batch sharded over the data axis, params
+            # replicated; round the padded batch up to the device count
+            from ..parallel.mesh import replicate
+
+            n_devices = len(mesh.devices.ravel())
+            self.batch_size = -(-batch_size // n_devices) * n_devices
+            if params is not None:
+                self.params = replicate(mesh, params)
         if quantized:
             from ..models.quantize import quantize_params
 
             self._q_params, self._q_scales = quantize_params(params)
 
     def _forward(self, padded):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            padded = shard_batch(self.mesh, padded)
         if self.quantized:
             from ..models.quantize import transducer_infer_quantized
 

@@ -183,6 +183,15 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                             {"epochs": epoch, "step": global_step,
                              "accuracy": float(accuracy),
                              "hidden_size": config.hidden, "gru_layers": 1})
+                try:  # crash-safe full train state (params + optimizer)
+                    from .orbax_io import save_train_state
+
+                    save_train_state(os.path.join(output_dir, "orbax"),
+                                     global_step, params, opt_state,
+                                     {"epoch": epoch,
+                                      "accuracy": float(accuracy)})
+                except Exception:
+                    pass  # orbax unavailable: .npz checkpoints remain
                 if accuracy > best_accuracy:
                     best_accuracy = accuracy
                     save_params(os.path.join(output_dir, "pepper_model_best.npz"),
@@ -200,9 +209,13 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
     _log(f"FINAL ACCURACY: {accuracy:.3f}")
     confusion_log.write(f"final\n{confusion}\n")
     host_params = jax.tree_util.tree_map(np.asarray, params)
+    meta = {"epochs": epochs, "accuracy": float(accuracy),
+            "hidden_size": config.hidden, "gru_layers": 1}
     save_params(os.path.join(output_dir, "pepper_model_final.npz"),
-                host_params, {"epochs": epochs, "accuracy": float(accuracy),
-                              "hidden_size": config.hidden, "gru_layers": 1})
+                host_params, meta)
+    if accuracy > best_accuracy:
+        save_params(os.path.join(output_dir, "pepper_model_best.npz"),
+                    host_params, meta)
     train_log.close()
     test_log.close()
     confusion_log.close()

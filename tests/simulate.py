@@ -84,19 +84,22 @@ def read_from_haplotype(ref: str, segments, ref_start: int, ref_span: int):
 
 
 def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
-                   qual=30, name_prefix="sim"):
-    """Tile reads across the genome alternating haplotypes/strands."""
+                   qual=30, name_prefix="sim", strides=None):
+    """Tile reads across the genome alternating haplotypes/strands.
+    strides: optional per-haplotype stride list (coverage weighting)."""
     records = []
     count = 0
     for hap_index, variants in enumerate(haplotypes):
         segments = apply_variants(ref, variants)
-        for start in range(0, len(ref) - read_len + 1, stride):
+        hap_stride = strides[hap_index] if strides else stride
+        for start in range(0, len(ref) - read_len + 1, hap_stride):
             seq, cigar = read_from_haplotype(ref, segments, start, read_len)
             flag = 0x10 if count % 2 else 0
             records.append(BamRecord(
                 name=f"{name_prefix}_{hap_index}_{count}", ref_id=0,
                 pos=start, mapq=mapq, cigar=cigar, seq=seq,
-                qual=[qual] * len(seq), flag=flag, hp=hap_index + 1))
+                qual=[qual] * len(seq), flag=flag,
+                hp=(hap_index + 1) if hap_index < 2 else 0))
             count += 1
     records.sort(key=lambda r: r.pos)
     return records
