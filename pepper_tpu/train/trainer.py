@@ -85,7 +85,7 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                 step_size: int = 100, batch_size: int | None = None,
                 retrain_model_path: str | None = None,
                 test_file: str | None = None, holdout_fraction: float = 0.1,
-                seed: int = 0):
+                seed: int = 0, config: TransducerConfig | None = None):
     os.makedirs(output_dir, exist_ok=True)
     images, type_labels, _ = load_image_dir(image_dir)
     _log(f"TOTAL TRAINING EXAMPLES: {len(images)}")
@@ -104,12 +104,13 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
     mesh = get_mesh()
     n_devices = len(mesh.devices.ravel())
 
-    if options.use_hp_info:
-        config = TransducerConfig(
-            image_features=ImageOptionsHP.IMAGE_HEIGHT,
-            window=ImageOptionsHP.CANDIDATE_WINDOW_SIZE + 1)
-    else:
-        config = TransducerConfig()
+    if config is None:
+        if options.use_hp_info:
+            config = TransducerConfig(
+                image_features=ImageOptionsHP.IMAGE_HEIGHT,
+                window=ImageOptionsHP.CANDIDATE_WINDOW_SIZE + 1)
+        else:
+            config = TransducerConfig()
 
     if retrain_model_path:
         params, _ = load_params(retrain_model_path)

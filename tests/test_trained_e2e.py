@@ -78,12 +78,17 @@ def test_train_then_call(tmp_path):
     image_dir = str(tmp_path / "train_images")
     make_images(train_options, image_dir)
 
-    # 2) train until the classifier separates hom-ref/het/hom-alt
+    # 2) train until the classifier separates hom-ref/het/hom-alt.
+    # A reduced-width transducer (same architecture family) keeps this
+    # full-system test fast enough for the default suite.
+    from pepper_tpu.models.transducer import TransducerConfig
+
+    small = TransducerConfig(hidden=64, linear_size=128)
     out_dir = str(tmp_path / "train_run")
     model_path, accuracy = train_model(
         PepperOptions(batch_size=32), image_dir, out_dir, epochs=30,
-        learning_rate=1e-4, step_size=10_000, batch_size=32,
-        holdout_fraction=0.15, seed=0)
+        learning_rate=3e-4, step_size=10_000, batch_size=32,
+        holdout_fraction=0.15, seed=0, config=small)
     assert accuracy >= 90.0, f"training failed to converge: {accuracy}"
 
     # 3) call variants on the UNSEEN genome with the trained model
