@@ -50,7 +50,15 @@ def lstm_scan(x, w_ih, w_hh, b, h0=None, c0=None, reverse=False):
 
 
 def bilstm(x, params):
-    """Bidirectional LSTM; output (B,T,2H) laid out [fwd, bwd] like torch."""
+    """Bidirectional LSTM; output (B,T,2H) laid out [fwd, bwd] like torch.
+
+    On TPU the recurrence dispatches to the Pallas kernel that pins h/c in
+    VMEM across timesteps (ops/lstm_kernel.py); elsewhere it runs as two
+    lax.scans.  Override with PEPPER_LSTM_KERNEL=0/1."""
+    from ..ops.lstm_kernel import bilstm_pallas, use_pallas_lstm
+
+    if use_pallas_lstm():
+        return bilstm_pallas(x, params)
     fwd, _ = lstm_scan(x, params["w_ih_f"], params["w_hh_f"], params["b_f"])
     bwd, _ = lstm_scan(x, params["w_ih_b"], params["w_hh_b"], params["b_b"],
                        reverse=True)
