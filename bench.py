@@ -27,6 +27,10 @@ from functools import partial
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.5")
 
+from pepper_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def bench_jax(batch=4096, n_short=10, n_long=50, compute_dtype="bfloat16"):
     import jax

@@ -182,6 +182,9 @@ def options_from_args(args) -> PepperOptions:
 
 
 def main(argv=None):
+    from ..utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.sub_command is None:

@@ -77,6 +77,9 @@ def _load_polish_params(options):
 
 
 def main(argv=None):
+    from ..utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.sub_command is None:

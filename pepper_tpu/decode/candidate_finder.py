@@ -47,19 +47,47 @@ def repeat_annotation(sequence: str, kmer_size: int) -> list[int]:
     return max_observed
 
 
+def _homopolymer_run_lengths(sequence: str) -> np.ndarray:
+    """Per-position run length of the homopolymer containing that base —
+    equal to repeat_annotation(sequence, 1) (run containing i dominates),
+    vectorized."""
+    if not sequence:
+        return np.zeros(0, np.int64)
+    codes = np.frombuffer(sequence.encode("latin-1"), np.uint8)
+    boundaries = np.flatnonzero(np.diff(codes) != 0) + 1
+    starts = np.concatenate([[0], boundaries])
+    lengths = np.diff(np.concatenate([starts, [len(codes)]]))
+    return np.repeat(lengths, lengths)
+
+
+def _candidate_context(fasta, contig: str, position: int):
+    """One fetch of the +-10bp context -> (ref_base, downstream, upstream)
+    — same strings as the reference's three fetches
+    (CandidateFinder.py:393-397)."""
+    start = max(0, position - 10)
+    window = fasta.get_reference_sequence(contig, start,
+                                          position + 10).upper()
+    split = position - start
+    downstream = window[:split]
+    upstream = window[split:]
+    ref_base = upstream[:1]
+    return ref_base, downstream, upstream
+
+
 def candidate_in_homopolymer(fasta, contig: str, position: int) -> bool:
     """In-repeat <=> homopolymer run >= 5 within the +-(5,4) neighborhood
     (CandidateFinder.py:393-416)."""
-    upstream = fasta.get_reference_sequence(contig, position,
-                                            position + 10).upper()
-    downstream = fasta.get_reference_sequence(contig, max(0, position - 10),
-                                              position).upper()
+    _, downstream, upstream = _candidate_context(fasta, contig, position)
+    return _in_homopolymer(downstream, upstream)
+
+
+def _in_homopolymer(downstream: str, upstream: str) -> bool:
     full_sequence = downstream + upstream
-    repeats = repeat_annotation(full_sequence, 1)
+    repeats = _homopolymer_run_lengths(full_sequence)
     position_index = len(downstream)
     upward = min(len(repeats), position_index + 4)
     downward = max(0, position_index - 5)
-    return max(repeats[downward:upward]) >= 5
+    return bool(repeats[downward:upward].max(initial=0) >= 5)
 
 
 def _valid_allele(allele: str) -> bool:
@@ -72,11 +100,9 @@ def decode_predictions(options, predictions, fasta):
     margin_list = []
     deepvariant_list = []
     for candidate in predictions:
-        reference_base = fasta.get_reference_sequence(
-            candidate.contig, candidate.position,
-            candidate.position + 1).upper()
-        in_repeat = candidate_in_homopolymer(fasta, candidate.contig,
-                                             candidate.position)
+        reference_base, downstream, upstream = _candidate_context(
+            fasta, candidate.contig, candidate.position)
+        in_repeat = _in_homopolymer(downstream, upstream)
         if reference_base not in ACGT:
             continue
 
