@@ -181,6 +181,38 @@ def options_from_args(args) -> PepperOptions:
     return options
 
 
+def _validate_inputs(options, args):
+    """Early input validation with clear errors (CallVariant.py:20-72)."""
+    import os
+
+    def fail(message):
+        sys.stderr.write(f"ERROR: {message}\n")
+        raise SystemExit(1)
+
+    needs_alignment = args.sub_command in (
+        "call_variant", "make_images", "make_train_images")
+    if needs_alignment:
+        if not options.bam or not os.path.isfile(options.bam):
+            fail(f"CAN NOT LOCATE BAM FILE: {options.bam!r}")
+        if not (os.path.isfile(options.bam + ".bai")
+                or os.path.isfile(options.bam.rsplit(".", 1)[0] + ".bai")):
+            fail(f"CAN NOT LOCATE BAM INDEX (.bai) FOR: {options.bam!r}")
+        if not options.fasta or not os.path.isfile(options.fasta):
+            fail(f"CAN NOT LOCATE FASTA FILE: {options.fasta!r}")
+        if not os.path.isfile(options.fasta + ".fai"):
+            fail(f"CAN NOT LOCATE FASTA INDEX (.fai) FOR: {options.fasta!r}")
+    if args.sub_command == "call_variant" and not options.dry:
+        if not options.model_path or not os.path.isfile(options.model_path):
+            fail(f"CAN NOT LOCATE MODEL FILE: {options.model_path!r}")
+    if options.threads <= 0:
+        fail("THREAD NEEDS TO BE >0.")
+    if getattr(options, "batch_size", 1) <= 0:
+        fail("batch_size NEEDS TO BE >0.")
+    if args.sub_command == "make_train_images":
+        if not options.truth_vcf or not os.path.isfile(options.truth_vcf):
+            fail(f"CAN NOT LOCATE TRUTH VCF: {options.truth_vcf!r}")
+
+
 def main(argv=None):
     from ..utils.jax_setup import enable_compilation_cache
 
@@ -220,6 +252,7 @@ def main(argv=None):
         return 0
 
     options = options_from_args(args)
+    _validate_inputs(options, args)
     options = set_parameters(options)
 
     if args.sub_command in ("call_variant",):
