@@ -84,6 +84,80 @@ class PositionalCandidateRecord:
     candidates: list = field(default_factory=list)
 
 
+ALT_PROB_THRESHOLD = 0.01  # CandidateFinderOptions.ALT_PROB_THRESHOLD
+
+
+def hp_candidates_to_variants(candidates, contig):
+    """Legacy HP site assembly (FindCandidates.py:16-110): pick the best
+    haplotype-supported alleles, compose the genotype from h1/h2 winner
+    indices, suffix-extend shorter alts against the longest ref allele.
+
+    candidates: list of 13-field tuples (pos_start, pos_end, ref, alt,
+    alt_type, depth, read_support, support_h0, support_h1, support_h2,
+    alt_prob_h1, alt_prob_h2, non_ref_prob)."""
+    max_h1_prob = max_h2_prob = 0.0
+    h1_indx = h2_indx = -1
+    min_pos_start = max_pos_end = -1
+    ref_sequence = ""
+    overall_non_ref_prob = -1.0
+
+    for i, candidate in enumerate(candidates):
+        (pos_start, pos_end, ref, alt, alt_type, depth, read_support,
+         support_h0, support_h1, support_h2, alt_prob_h1, alt_prob_h2,
+         non_ref_prob) = candidate
+        if overall_non_ref_prob < 0:
+            overall_non_ref_prob = non_ref_prob
+        overall_non_ref_prob = min(non_ref_prob, overall_non_ref_prob)
+        if min_pos_start == -1:
+            min_pos_start = pos_start
+        if max_pos_end == -1:
+            max_pos_end = pos_end
+        min_pos_start = min(min_pos_start, pos_start)
+        max_pos_end = max(max_pos_end, pos_end)
+        if max_pos_end == pos_end:
+            ref_sequence = ref
+        if alt_prob_h1 > ALT_PROB_THRESHOLD:
+            if h1_indx == -1 or max_h1_prob < alt_prob_h1:
+                h1_indx = i
+                max_h1_prob = alt_prob_h1
+        if alt_prob_h2 > ALT_PROB_THRESHOLD:
+            if h2_indx == -1 or max_h2_prob < alt_prob_h2:
+                h2_indx = i
+                max_h2_prob = alt_prob_h2
+
+    selected_alts, selected_dps, selected_gts, selected_ads = [], [], [], []
+    other_alts, other_dps, other_gts, other_ads = [], [], [], []
+    for i, candidate in enumerate(candidates):
+        (pos_start, pos_end, ref, alt, alt_type, depth, read_support,
+         support_h0, support_h1, support_h2, alt_prob_h1, alt_prob_h2,
+         non_ref_prob) = candidate
+        if pos_end < max_pos_end:
+            bases_needed = max_pos_end - pos_end
+            alt = alt + ref_sequence[-bases_needed:]
+        if i in (h1_indx, h2_indx):
+            selected_alts.append(alt)
+            selected_dps.append(depth)
+            selected_ads.append(read_support)
+            selected_gts.append(max(alt_prob_h1, alt_prob_h2))
+        else:
+            other_alts.append(alt)
+            other_dps.append(depth)
+            other_ads.append(read_support)
+            other_gts.append(max(alt_prob_h1, alt_prob_h2))
+
+    indx_list = [i for i in (h1_indx, h2_indx) if i > -1]
+    genotype = [0, 0]
+    if len(indx_list) == 1:
+        genotype = [0, 1]
+    elif len(indx_list) == 2:
+        genotype = [1, 1] if indx_list[0] == indx_list[1] else [1, 2]
+
+    return (contig, min_pos_start, max_pos_end, ref_sequence,
+            selected_alts + other_alts, genotype,
+            selected_dps + other_dps, selected_gts + other_gts,
+            selected_ads + other_ads, overall_non_ref_prob)
+
+
 class CandidateFinderHP:
     def __init__(self, reference_sequence: str, chromosome_name: str,
                  region_start: int, region_end: int, ref_start: int,

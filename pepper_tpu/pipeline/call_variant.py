@@ -120,6 +120,66 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     return None
 
 
+def _make_predict_fn(options, params):
+    if options.dry:
+        return fake_predict
+    from ..options import ImageOptions, ImageOptionsHP
+
+    size_options = (ImageOptionsHP if options.use_hp_info
+                    else ImageOptions)
+    runner = InferenceRunner(
+        params, batch_size=options.batch_size,
+        window=size_options.CANDIDATE_WINDOW_SIZE + 1,
+        features=size_options.IMAGE_HEIGHT,
+        quantized=options.quantized)
+    return runner.predict
+
+
+def _stream_predictions(options, intervals, bed_list, predict_fn):
+    """Overlap host-side window generation with accelerator inference:
+    interval workers run in a process pool while the main thread feeds
+    completed windows to the device in batch_size slices (the prefetch
+    overlap SURVEY.md §7.3 calls out as the throughput hard part)."""
+    predictions = []
+    total_windows = 0
+    pending = []
+
+    def drain(final=False):
+        nonlocal pending
+        while len(pending) >= options.batch_size or (final and pending):
+            chunk = pending[:options.batch_size]
+            pending = pending[options.batch_size:]
+            predictions.extend(predict_fn(chunk))
+
+    if options.threads <= 1 or len(intervals) <= 1:
+        bam_handler = BamReader(options.bam)
+        fasta_handler = FastaReader(options.fasta)
+        for contig, start, end in intervals:
+            windows = create_region_summary(options, bam_handler,
+                                            fasta_handler, contig, start,
+                                            end, bed_list)
+            if windows:
+                total_windows += len(windows)
+                pending.extend(windows)
+                drain()
+    else:
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=options.threads) as pool:
+            futures = [
+                pool.submit(_interval_worker,
+                            (options, [interval], bed_list))
+                for interval in intervals
+            ]
+            for future in concurrent.futures.as_completed(futures):
+                windows = future.result()
+                if windows:
+                    total_windows += len(windows)
+                    pending.extend(windows)
+                    drain()
+    drain(final=True)
+    return predictions, total_windows
+
+
 def call_variant(options, params=None):
     """Full pipeline: windows -> model -> candidates -> 5 VCFs.
 
@@ -140,22 +200,10 @@ def call_variant(options, params=None):
     log_info(f"TOTAL CONTIGS: {len(chr_list)} TOTAL INTERVALS: "
              f"{len(intervals)} TOTAL BASES: {total_bases}")
 
-    windows = generate_windows(options, intervals, bed_list, options.threads)
-    log_info(f"TOTAL CANDIDATE WINDOWS: {len(windows)}")
-
-    if options.dry:
-        predictions = fake_predict(windows)
-    else:
-        from ..options import ImageOptions, ImageOptionsHP
-
-        size_options = (ImageOptionsHP if options.use_hp_info
-                        else ImageOptions)
-        runner = InferenceRunner(
-            params, batch_size=options.batch_size,
-            window=size_options.CANDIDATE_WINDOW_SIZE + 1,
-            features=size_options.IMAGE_HEIGHT,
-            quantized=options.quantized)
-        predictions = runner.predict(windows)
+    predict_fn = _make_predict_fn(options, params)
+    predictions, total_windows = _stream_predictions(options, intervals,
+                                                     bed_list, predict_fn)
+    log_info(f"TOTAL CANDIDATE WINDOWS: {total_windows}")
     log_info("FINISHED PREDICTION")
 
     margin_list, deepvariant_list = decode_predictions(options, predictions,

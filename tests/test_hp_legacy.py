@@ -104,3 +104,32 @@ def test_filter_candidate_thresholds():
                        read_support=12, alt_prob_h1=0.004,
                        alt_prob_h2=0.004, non_ref_prob=0.0)
     assert not CandidateFinderHP.filter_candidate(weak, False, 0)
+
+
+def test_hp_candidates_to_variants_assembly():
+    from pepper_tpu.decode.hp_legacy import hp_candidates_to_variants
+
+    # two alleles at one site: SNP (h1) and deletion (h2)
+    snp = (100, 101, "A", "T", SNP_TYPE, 30, 12, 0, 12, 0, 0.95, 0.001, 0.9)
+    deletion = (100, 103, "ACG", "A", DELETE_TYPE, 30, 10, 0, 0, 10,
+                0.001, 0.88, 0.8)
+    (contig, start, end, ref, alts, genotype, dps, gts, ads,
+     non_ref) = hp_candidates_to_variants([snp, deletion], "chr1")
+    assert (contig, start, end) == ("chr1", 100, 103)
+    assert ref == "ACG"
+    # SNP alt suffix-extended against the deletion's ref tail
+    assert alts[0] == "TCG" and alts[1] == "A"
+    assert genotype == [1, 2]
+    assert ads == [12, 10]
+
+    # single het allele
+    (_, _, _, _, alts2, genotype2, *_ ) = hp_candidates_to_variants(
+        [snp], "chr1")
+    assert genotype2 == [0, 1] and alts2 == ["T"]
+
+    # same allele on both haplotypes -> hom-alt
+    hom = (100, 101, "A", "T", SNP_TYPE, 30, 25, 0, 12, 13, 0.95, 0.92, 0.9)
+    *_, genotype3, _, _, _, _ = hp_candidates_to_variants([hom], "chr1")
+    # unpack: contig,start,end,ref,alts,genotype,dps,gts,ads,non_ref
+    result = hp_candidates_to_variants([hom], "chr1")
+    assert result[5] == [1, 1]

@@ -146,3 +146,46 @@ def test_multiprocess_window_generation(tmp_path):
     key = lambda w: (w.contig, w.position, tuple(w.candidates))  # noqa: E731
     assert sorted(map(key, serial)) == sorted(map(key, parallel))
     assert {w.position for w in serial} == {700, 1700, 2700}
+
+
+def test_streaming_call_variant_matches_serial(tmp_path):
+    """call_variant with threads=2 (streamed process-pool generation
+    overlapped with inference) produces the same VCF as threads=1."""
+    import gzip
+
+    from simulate import random_reference, simulate_reads, write_truth_vcf
+    from pepper_tpu.io.bam_writer import write_bam, write_fasta
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.pipeline.call_variant import call_variant
+
+    ref = random_reference(4000, seed=66)
+    alt = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    variants = [(p, ref[p], alt[ref[p]], "1|0") for p in (700, 1700, 2700)]
+    records = simulate_reads(ref, [[(p, r, a) for p, r, a, _ in variants],
+                                   []], read_len=300, stride=20)
+    bam = str(tmp_path / "s.bam")
+    fasta = str(tmp_path / "s.fa")
+    truth = str(tmp_path / "s.vcf")
+    bed = str(tmp_path / "s.bed")
+    write_bam(bam, [("chrS", len(ref))], records)
+    write_fasta(fasta, {"chrS": ref})
+    write_truth_vcf(truth, "chrS", len(ref), variants)
+    with open(bed, "w") as f:
+        f.write(f"chrS\t0\t{len(ref)}\n")
+
+    outputs = {}
+    for threads in (1, 2):
+        out = str(tmp_path / f"out_{threads}")
+        options = set_parameters(PepperOptions(
+            bam=bam, fasta=fasta, output_dir=out, threads=threads,
+            ont_r9_guppy5_sup=True, sub_command="call_variant", dry=True,
+            train_mode=True, truth_vcf=truth, region_bed=bed,
+            random_draw_probability=1.0, region="chrS", region_size=1000,
+            batch_size=4))
+        call_variant(options)
+        with gzip.open(f"{out}/PEPPER_VARIANT_FULL.vcf.gz", "rt") as f:
+            outputs[threads] = [line for line in f
+                                if not line.startswith("#")]
+    assert outputs[1] == outputs[2]
+    assert len(outputs[1]) == 3
