@@ -32,9 +32,8 @@ from ..io.bam import (
     OP_SOFT_CLIP, ReadBatch,
 )
 from .pileup_ref import (
-    CandidateWindow, RegionalSummary, TruthRecord, _truth_candidate_string,
-    get_label_index, get_reference_feature_value,
-    get_variant_type_label_index, MAX_COLOR, MIN_COLOR,
+    CandidateWindow, RegionalSummary, _truth_candidate_string,
+    get_label_index, get_reference_feature_value, MAX_COLOR, MIN_COLOR,
 )
 
 _FEATURE_BY_BASE = {"A": 1, "C": 2, "G": 3, "T": 4, "I": 5, "D": 6}

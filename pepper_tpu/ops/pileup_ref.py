@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io.bam import (
-    OP_DEL, OP_EQUAL, OP_DIFF, OP_HARD_CLIP, OP_INS, OP_MATCH, OP_PAD,
+    OP_DEL, OP_EQUAL, OP_DIFF, OP_INS, OP_MATCH, OP_PAD,
     OP_REF_SKIP, OP_SOFT_CLIP, ReadBatch,
 )
 from ..options import ImageOptions

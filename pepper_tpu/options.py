@@ -4,7 +4,7 @@ Behavioral parity source: pepper_variant/modules/python/Options.py:1-99 and
 pepper_variant/modules/cpp/region_summary.h:14-51 in the reference repo.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class ImageOptions:

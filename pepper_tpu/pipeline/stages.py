@@ -14,7 +14,6 @@ from ..infer.runner import InferenceRunner, fake_predict
 from ..io.bam import BamReader
 from ..io.datastore import ImageStore, PredictionStore
 from ..io.fasta import FastaReader
-from .call_variant import generate_windows
 from .regions import build_intervals, get_chromosome_list, log_info
 from .summarizer import create_region_summary
 

@@ -6,8 +6,6 @@ overlaps a previous one dropped, labels decoded 0:'' 1:'A' 2:'C' 3:'G'
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..options import PolishImageOptions
 
 LABEL_DECODER = PolishImageOptions.LABEL_DECODER

@@ -18,14 +18,13 @@ device dispatch.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.checkpoint import load_params, save_params
+from ..models.checkpoint import save_params
 from ..models.polish_gru import init_polish_params, polish_forward
 from ..options import PolishImageOptions
 from ..parallel.mesh import get_mesh, pad_to_multiple, replicate, shard_batch
