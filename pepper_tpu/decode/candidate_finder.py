@@ -82,12 +82,26 @@ def candidate_in_homopolymer(fasta, contig: str, position: int) -> bool:
 
 
 def _in_homopolymer(downstream: str, upstream: str) -> bool:
+    # equivalent to max(_homopolymer_run_lengths(seq)[down:up]) >= 5 but
+    # scalar (numpy overhead dominates on 20-char windows): scan runs and
+    # test overlap with the [down, up) neighborhood
     full_sequence = downstream + upstream
-    repeats = _homopolymer_run_lengths(full_sequence)
+    n = len(full_sequence)
+    if n == 0:
+        return False
     position_index = len(downstream)
-    upward = min(len(repeats), position_index + 4)
+    upward = min(n, position_index + 4)
     downward = max(0, position_index - 5)
-    return bool(repeats[downward:upward].max(initial=0) >= 5)
+    run_start = 0
+    prev = full_sequence[0]
+    for i in range(1, n + 1):
+        if i == n or full_sequence[i] != prev:
+            if i - run_start >= 5 and run_start < upward and i > downward:
+                return True
+            if i < n:
+                run_start = i
+                prev = full_sequence[i]
+    return False
 
 
 def _valid_allele(allele: str) -> bool:
