@@ -49,16 +49,19 @@ def lstm_scan(x, w_ih, w_hh, b, h0=None, c0=None, reverse=False):
     return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
 
-def bilstm(x, params):
+def bilstm(x, params, allow_kernel=True):
     """Bidirectional LSTM; output (B,T,2H) laid out [fwd, bwd] like torch.
 
     On TPU the recurrence dispatches to the Pallas kernel that pins h/c in
-    VMEM across timesteps (ops/lstm_kernel.py); elsewhere it runs as two
-    lax.scans.  Override with PEPPER_LSTM_KERNEL=0/1."""
-    from ..ops.lstm_kernel import bilstm_pallas, use_pallas_lstm
+    VMEM across timesteps (ops/lstm_kernel.py); elsewhere — and whenever
+    gradients are needed (the kernel defines no VJP; training passes
+    allow_kernel=False) — it runs as two lax.scans.  Override with
+    PEPPER_LSTM_KERNEL=0/1."""
+    if allow_kernel:
+        from ..ops.lstm_kernel import bilstm_pallas, use_pallas_lstm
 
-    if use_pallas_lstm():
-        return bilstm_pallas(x, params)
+        if use_pallas_lstm():
+            return bilstm_pallas(x, params)
     fwd, _ = lstm_scan(x, params["w_ih_f"], params["w_hh_f"], params["b_f"])
     bwd, _ = lstm_scan(x, params["w_ih_b"], params["w_hh_b"], params["b_b"],
                        reverse=True)

@@ -63,9 +63,11 @@ def _dropout(x, rate, key):
 
 
 def transducer_logits(params, x, *, train=False, dropout_rate=0.2, rng=None):
-    """Forward pass to logits. x: (B, T, F) float."""
-    x = bilstm(x, params["encoder"])
-    x = bilstm(x, params["decoder"])
+    """Forward pass to logits. x: (B, T, F) float.  Training keeps the
+    differentiable lax.scan recurrence; inference may use the Pallas
+    kernel."""
+    x = bilstm(x, params["encoder"], allow_kernel=not train)
+    x = bilstm(x, params["decoder"], allow_kernel=not train)
 
     if train and rng is not None:
         rngs = jax.random.split(rng, 5)
