@@ -115,6 +115,9 @@ def build_parser():
     _add_inference_args(p)
     _add_candidate_args(p)
     _add_preset_args(p)
+    p.add_argument("--sharded", action="store_true", default=False,
+                   help="Region-manifest sharded/resumable mode (auto when "
+                        "running multi-host under jax.distributed).")
 
     p = sub.add_parser("make_images", help="Generate candidate images.")
     _add_common_io(p)
@@ -162,6 +165,16 @@ def build_parser():
     _add_common_io(p, need_model=True)
     p.add_argument("-i", "--image_dir", required=True)
     _add_inference_args(p)
+    p.add_argument("--use_hp_info", action="store_true", default=False)
+
+    p = sub.add_parser("run_hyperband", help="Hyperband lr/l2 search over "
+                       "the window classifier.")
+    _add_common_io(p)
+    p.add_argument("-i", "--image_dir", required=True)
+    p.add_argument("--max_iter", type=int, default=27,
+                   help="Max epochs per configuration.")
+    p.add_argument("--eta", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--use_hp_info", action="store_true", default=False)
 
     p = sub.add_parser("backend_stat", help="Print JAX backend/device info "
@@ -256,14 +269,20 @@ def main(argv=None):
     options = set_parameters(options)
 
     if args.sub_command in ("call_variant",):
-        from ..pipeline.call_variant import call_variant
+        import jax
+
+        from ..pipeline.call_variant import (call_variant,
+                                             call_variant_sharded)
 
         params = None
         if not options.dry:
             from ..models.checkpoint import load_params
 
             params, _ = load_params(options.model_path)
-        call_variant(options, params=params)
+        if args.sharded or jax.process_count() > 1:
+            call_variant_sharded(options, params=params)
+        else:
+            call_variant(options, params=params)
     elif args.sub_command in ("make_images", "make_train_images"):
         from ..pipeline.stages import make_images
 
@@ -295,6 +314,42 @@ def main(argv=None):
         from ..train.trainer import test_model
 
         test_model(options, args.image_dir)
+    elif args.sub_command == "run_hyperband":
+        import os
+
+        from ..train.hyperband import Hyperband
+        from ..train.trainer import train_model
+
+        run_counter = {"n": 0}
+
+        def try_params(n_iterations, config):
+            run_counter["n"] += 1
+            run_dir = os.path.join(options.output_dir,
+                                   f"hb_{config['_id']}_{run_counter['n']}")
+            resume = (os.path.join(options.output_dir,
+                                   f"hb_{config['_id']}_best.npz")
+                      if config.get("_resume") else None)
+            model_path, accuracy = train_model(
+                options, args.image_dir, run_dir,
+                epochs=int(n_iterations),
+                learning_rate=config["learning_rate"],
+                weight_decay=config["weight_decay"],
+                step_size=10_000, batch_size=options.batch_size,
+                retrain_model_path=(resume if resume
+                                    and os.path.exists(resume) else None))
+            best_path = os.path.join(options.output_dir,
+                                     f"hb_{config['_id']}_best.npz")
+            import shutil
+
+            shutil.copy(model_path, best_path)
+            return {"loss": -accuracy, "accuracy": accuracy,
+                    "checkpoint": best_path}
+
+        hyperband = Hyperband(try_params, max_iter=args.max_iter,
+                              eta=args.eta)
+        best = hyperband.run()
+        print(f"BEST: acc={best['accuracy']:.3f} "
+              f"config={best['config']} ckpt={best['checkpoint']}")
     return 0
 
 

@@ -146,3 +146,30 @@ def test_graft_entry_dryrun():
     assert out.shape == (64, 3)
 
     module.dryrun_multichip(8)
+
+
+def test_cli_hyperband(sim, tmp_path):
+    """run_hyperband CLI: tiny bracket over the simulated images."""
+    image_dir = str(sim["tmp"] / "images")
+    if not os.path.isdir(image_dir) or not os.listdir(image_dir):
+        pytest.skip("image dir missing (run CLI test first)")
+    out = str(tmp_path / "hb")
+    rc = cli_main([
+        "run_hyperband", "-i", image_dir, "-o", out,
+        "--max_iter", "2", "--eta", "2", "--batch_size", "16",
+        "-b", sim["bam"], "-f", sim["fasta"]])
+    assert rc == 0
+    assert any(f.endswith("_best.npz") for f in os.listdir(out))
+
+
+def test_cli_sharded_call_variant(sim, tmp_path):
+    out = str(tmp_path / "sharded_out")
+    # plain --dry (no labels): all candidates decode as refCall records,
+    # which still exercises the manifest + sharded decode merge
+    rc = cli_main([
+        "call_variant", "-b", sim["bam"], "-f", sim["fasta"], "-o", out,
+        "-r", CONTIG, "--ont_r9_guppy5_sup", "--dry", "--sharded"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "PEPPER_VARIANT_FULL.vcf.gz"))
+    assert os.path.exists(os.path.join(out, "manifest",
+                                       "region_manifest.json"))
