@@ -47,8 +47,20 @@ def init_hidden(batch_size: int, hidden: int = 128, dtype=jnp.float32):
     return jnp.zeros((batch_size, 2, hidden), dtype)
 
 
-def _bigru_with_hidden(x, params, h0):
+def _bigru_with_hidden(x, params, h0, allow_kernel=False):
     """h0: (B, 2, H) -> outputs (B, T, 2H), hidden_out (B, 2, H)."""
+    if allow_kernel:
+        from ..ops.gru_kernel import gru_direction_pallas, use_pallas_gru
+
+        if use_pallas_gru():
+            fwd, hf = gru_direction_pallas(
+                x, params["w_ih_f"], params["w_hh_f"], params["b_ih_f"],
+                params["b_hh_f"], h0[:, 0])
+            bwd, hb = gru_direction_pallas(
+                x, params["w_ih_b"], params["w_hh_b"], params["b_ih_b"],
+                params["b_hh_b"], h0[:, 1], reverse=True)
+            return (jnp.concatenate([fwd, bwd], axis=-1),
+                    jnp.stack([hf, hb], axis=1))
     fwd, hf = gru_scan(x, params["w_ih_f"], params["w_hh_f"],
                        params["b_ih_f"], params["b_hh_f"], h0=h0[:, 0])
     bwd, hb = gru_scan(x, params["w_ih_b"], params["w_hh_b"],
@@ -59,10 +71,14 @@ def _bigru_with_hidden(x, params, h0):
     return out, hidden_out
 
 
-def polish_forward(params, x, hidden):
+def polish_forward(params, x, hidden, allow_kernel=False):
     """x: (B, T, F) float, hidden: (B, 2, H).
-    Returns (logits (B, T, num_classes), hidden_final (B, 2, H))."""
-    x, hidden_out = _bigru_with_hidden(x, params["encoder"], hidden)
-    x, hidden_final = _bigru_with_hidden(x, params["decoder"], hidden_out)
+    Returns (logits (B, T, num_classes), hidden_final (B, 2, H)).
+    allow_kernel routes the recurrence to the Pallas GRU on TPU —
+    inference only (no VJP); training keeps the lax.scan."""
+    x, hidden_out = _bigru_with_hidden(x, params["encoder"], hidden,
+                                       allow_kernel)
+    x, hidden_final = _bigru_with_hidden(x, params["decoder"], hidden_out,
+                                         allow_kernel)
     logits = linear(x, params["output"])
     return logits, hidden_final

@@ -46,7 +46,8 @@ def consensus_scan(params, images, num_classes=5):
     def body(carry, inputs):
         hidden, votes = carry
         window, offset = inputs
-        logits, hidden = polish_forward(params, window, hidden)
+        logits, hidden = polish_forward(params, window, hidden,
+                                        allow_kernel=True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
         padded = jnp.zeros((B, SEQ_LENGTH, num_classes), jnp.float32)
         padded = jax.lax.dynamic_update_slice_in_dim(padded, probs, offset,

@@ -30,3 +30,63 @@ def test_recurrence_matches_unidirectional():
     ys = lstm_recurrence_pallas(xw, params["w_hh_f"], interpret=True)
     np.testing.assert_allclose(np.asarray(jnp.transpose(ys, (1, 0, 2))),
                                np.asarray(expected), atol=1e-5)
+
+
+def test_gru_kernel_matches_scan():
+    from pepper_tpu.models.rnn import gru_scan, init_gru_params
+    from pepper_tpu.ops.gru_kernel import gru_direction_pallas
+
+    params = init_gru_params(jax.random.PRNGKey(4), 10, 32)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(8, 20, 10), jnp.float32)
+    h0 = jnp.asarray(rng.randn(8, 32), jnp.float32)
+
+    for reverse in (False, True):
+        expected, hT_expected = gru_scan(
+            x, params["w_ih_f"], params["w_hh_f"], params["b_ih_f"],
+            params["b_hh_f"], h0=h0, reverse=reverse)
+        actual, hT = gru_direction_pallas(
+            x, params["w_ih_f"], params["w_hh_f"], params["b_ih_f"],
+            params["b_hh_f"], h0, reverse=reverse, interpret=True)
+        np.testing.assert_allclose(np.asarray(actual),
+                                   np.asarray(expected), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hT),
+                                   np.asarray(hT_expected), atol=1e-5)
+
+
+def test_polish_forward_kernel_path_matches():
+    import os
+
+    from pepper_tpu.models.polish_gru import (init_polish_params,
+                                              polish_forward)
+
+    os.environ["PEPPER_GRU_KERNEL"] = "1"
+    try:
+        params = init_polish_params(jax.random.PRNGKey(6))
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.rand(4, 50, 10), jnp.float32)
+        h0 = jnp.asarray(rng.randn(4, 2, 128), jnp.float32)
+        expected_logits, expected_hidden = polish_forward(
+            params, x, h0, allow_kernel=False)
+        # interpret mode via monkeypatched flag (CPU backend)
+        from pepper_tpu.ops import gru_kernel
+
+        orig = gru_kernel.gru_direction_pallas
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        gru_kernel.gru_direction_pallas = interp
+        try:
+            import pepper_tpu.models.polish_gru as pg
+            actual_logits, actual_hidden = pg.polish_forward(
+                params, x, h0, allow_kernel=True)
+        finally:
+            gru_kernel.gru_direction_pallas = orig
+        np.testing.assert_allclose(np.asarray(actual_logits),
+                                   np.asarray(expected_logits), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(actual_hidden),
+                                   np.asarray(expected_hidden), atol=1e-5)
+    finally:
+        os.environ["PEPPER_GRU_KERNEL"] = "auto"
