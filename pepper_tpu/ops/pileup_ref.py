@@ -20,8 +20,9 @@ including its quirks, which downstream candidate parity depends on:
 * Alleles at one site are emitted in lexicographic candidate-string order
   (std::set iteration, region_summary.cpp:670).
 
-The hot accumulation loop has a vectorized/TPU twin in ops/pileup_jax.py
-which is golden-tested against this implementation.
+The hot accumulation loop has a native C++ twin (io/_native/pileup.cpp,
+the production path) and TPU accumulation kernels (ops/pileup_kernel.py),
+both golden-tested against this implementation.
 """
 
 from __future__ import annotations
