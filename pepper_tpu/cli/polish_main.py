@@ -49,6 +49,11 @@ def build_parser():
     p.add_argument("-i", "--input_dir", required=True)
     p.add_argument("-o", "--output_dir", default="./output")
 
+    p = sub.add_parser("make_train_images")
+    _add_common(p)
+    p.add_argument("--truth_bam", required=True,
+                   help="Truth-to-draft alignment BAM (supervision).")
+
     p = sub.add_parser("train_model")
     _add_common(p, need_model=True)
     p.add_argument("-i", "--image_dir", required=True)
@@ -100,6 +105,11 @@ def main(argv=None):
         from ..polish.pipeline import make_polish_images
 
         make_polish_images(options, options.output_dir)
+    elif args.sub_command == "make_train_images":
+        from ..polish.pipeline import make_polish_train_images
+
+        make_polish_train_images(options, args.truth_bam,
+                                 options.output_dir)
     elif args.sub_command == "call_consensus":
         from ..polish.pipeline import call_consensus
 
