@@ -60,6 +60,8 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
+
+    sub.add_parser("download_models", help="Model acquisition notes.")
     return parser
 
 
@@ -97,6 +99,13 @@ def main(argv=None):
             setattr(options, key, value)
     options.sub_command = args.sub_command
 
+    if args.sub_command == "download_models":
+        print("pepper_tpu_polish uses native .npz checkpoints (train with "
+              "`pepper_tpu_polish train_model`) and converts reference "
+              "PEPPER polish torch .pkl checkpoints on load. Reference "
+              "models: https://storage.googleapis.com/pepper-models/ "
+              "(download on a machine with network access).")
+        return 0
     if args.sub_command == "polish":
         from ..polish.pipeline import polish
 

@@ -23,11 +23,22 @@ from .regions import build_intervals, get_chromosome_list, log_info
 from .summarizer import create_region_summary
 
 
+_worker_handles = {}
+
+
+def _get_handles(bam_path, fasta_path):
+    """Per-process persistent BAM/FASTA handles (pool workers process many
+    intervals; reopening per task costs header+index parses)."""
+    key = (bam_path, fasta_path)
+    if key not in _worker_handles:
+        _worker_handles[key] = (BamReader(bam_path), FastaReader(fasta_path))
+    return _worker_handles[key]
+
+
 def _interval_worker(args):
     """Worker (one process): generate windows for a slice of intervals."""
     options, intervals, bed_list = args
-    bam_handler = BamReader(options.bam)
-    fasta_handler = FastaReader(options.fasta)
+    bam_handler, fasta_handler = _get_handles(options.bam, options.fasta)
     results = []
     for contig, start, end in intervals:
         windows = create_region_summary(options, bam_handler, fasta_handler,
