@@ -132,3 +132,37 @@ def test_hp_e2e_dry(tmp_path):
     by_pos = {int(r[1]) - 1: r for r in records}
     assert het_snp[0] in by_pos
     assert by_pos[het_snp[0]][4] == het_snp[2]
+
+
+def test_hp_e2e_model_mode(tmp_path):
+    """HP call_variant with an untrained 48-feature model: pipeline runs
+    end-to-end (shapes, batching, decode)."""
+    import jax
+
+    from pepper_tpu.models.transducer import (TransducerConfig,
+                                              init_transducer_params)
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.pipeline.call_variant import call_variant
+
+    ref = random_reference(2200, seed=33)
+
+    def alt_base(pos):
+        return {"A": "T", "T": "A", "C": "G", "G": "C"}[ref[pos]]
+
+    het_snp = (700, ref[700], alt_base(700))
+    records = simulate_reads(ref, [[het_snp], []], read_len=300, stride=20)
+    bam = str(tmp_path / "m.bam")
+    fasta = str(tmp_path / "m.fa")
+    write_bam(bam, [("chrH", len(ref))], records)
+    write_fasta(fasta, {"chrH": ref})
+
+    config = TransducerConfig(image_features=48, window=21, hidden=32,
+                              linear_size=64)
+    params = init_transducer_params(jax.random.PRNGKey(0), config)
+    options = set_parameters(PepperOptions(
+        bam=bam, fasta=fasta, output_dir=str(tmp_path / "out"),
+        threads=1, ont_r9_guppy5_sup=True, sub_command="call_variant",
+        use_hp_info=True, region="chrH", batch_size=16))
+    totals = call_variant(options, params=params)
+    assert totals[0] > 0
