@@ -94,6 +94,8 @@ class PolishPredictionStore:
             return
         self._names.add(name)
         base = f"predictions/{contig}/{prefix}/{chunk_id}"
+        if base in self.file_handler:  # resumed run re-emitting a chunk
+            return
         fh[f"{base}/position"] = np.asarray(position, np.int64)
         fh[f"{base}/index"] = np.asarray(index, np.int64)
         fh[f"{base}/bases"] = np.asarray(predicted_bases, np.uint8)

@@ -358,6 +358,70 @@ def perform_stitch(prediction_dir: str, output_path: str):
     return fasta_path
 
 
+def polish_sharded(options, params, manifest_dir=None):
+    """Multi-host / resumable polish: interval claims + done markers as in
+    call_variant_sharded; per-rank consensus predictions, rank-0 stitch."""
+    import jax
+
+    from ..parallel.dist import RegionManifest, barrier, shard_intervals
+
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+    os.makedirs(options.output_dir, exist_ok=True)
+    manifest_dir = manifest_dir or os.path.join(options.output_dir,
+                                                "manifest")
+    prediction_dir = os.path.join(options.output_dir, "predictions")
+    os.makedirs(prediction_dir, exist_ok=True)
+
+    bam_handler = BamReader(options.bam)
+    fasta_handler = FastaReader(options.fasta)
+    chr_list = get_polish_chromosome_list(options.region, fasta_handler,
+                                          bam_handler, options.region_bed)
+    intervals = build_polish_intervals(chr_list, fasta_handler)
+
+    manifest = RegionManifest(manifest_dir)
+    if process_index == 0:
+        manifest.write(intervals)
+    barrier("polish-manifest")
+
+    my_intervals = shard_intervals(intervals, process_index, process_count)
+    pending = [i for i in my_intervals if not manifest.is_done(i)]
+    log_info(f"HOST {process_index}/{process_count}: "
+             f"{len(pending)}/{len(my_intervals)} INTERVALS PENDING")
+
+    output_file = os.path.join(prediction_dir,
+                               f"pepper_prediction_{process_index}.hdf")
+    mode = "a" if os.path.exists(output_file) else "w"
+    with PolishPredictionStore(output_file, mode) as store:
+        for contig, start, end in pending:
+            images, labels_unused, positions, chunk_ids = \
+                summarize_interval(
+                    bam_handler, fasta_handler, contig, start, end,
+                    options.downsample_rate,
+                    realignment=getattr(options, "realignment", True))
+            if images:
+                image_stack = np.stack(images)
+                if getattr(options, "dry", False):
+                    from .consensus import dry_consensus_labels
+
+                    labels, phred = dry_consensus_labels(image_stack)
+                else:
+                    labels, phred = consensus_predict(
+                        params, image_stack, batch_size=options.batch_size)
+                for i in range(len(images)):
+                    store.write_prediction(
+                        contig, start, end, chunk_ids[i], positions[i][:, 0],
+                        positions[i][:, 1], labels[i],
+                        np.clip(phred[i], 0, 255))
+            manifest.mark_done((contig, start, end))
+
+    barrier("polish-predictions")
+    if process_index == 0:
+        return perform_stitch(prediction_dir,
+                              os.path.join(options.output_dir, "consensus"))
+    return None
+
+
 def polish(options, params):
     """Full polish pipeline (polish.py:91-117)."""
     timestr = time.strftime("%m%d%Y_%H%M%S")

@@ -212,3 +212,26 @@ def test_polish_tbptt_training(polish_sim, tmp_path):
     loss, confusion = eval_step(params, images, labels.astype(np.int32),
                                 mask)
     assert np.asarray(confusion).sum() == images.shape[0] * 1000
+
+
+def test_polish_sharded_resume(polish_sim, tmp_path):
+    from pepper_tpu.parallel.dist import RegionManifest
+    from pepper_tpu.polish.pipeline import polish_sharded
+
+    out = str(tmp_path / "sharded")
+    options = PepperOptions(
+        bam=polish_sim["bam"], fasta=polish_sim["fasta"], output_dir=out,
+        threads=1, dry=True, batch_size=8)
+    fasta_path = polish_sharded(options, params=None)
+    with open(fasta_path) as f:
+        lines = f.read().strip().split("\n")
+    assert "".join(lines[1:]) == polish_sim["truth"]
+
+    manifest = RegionManifest(str(tmp_path / "sharded" / "manifest"))
+    assert manifest.pending() == []
+
+    # resume: all intervals done, stitch reruns identically
+    fasta_path2 = polish_sharded(options, params=None)
+    with open(fasta_path2) as f:
+        lines2 = f.read().strip().split("\n")
+    assert lines2 == lines
