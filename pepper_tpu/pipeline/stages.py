@@ -18,10 +18,44 @@ from .regions import build_intervals, get_chromosome_list, log_info
 from .summarizer import create_region_summary
 
 
+def _image_worker(args):
+    """One worker process: its round-robin interval share -> one HDF5 file
+    (the reference's generate_image_and_save_to_file,
+    ImageGenerationUI.py:190-274)."""
+    (options, intervals, bed_list, output_dir, process_id, n_workers,
+     timestr) = args
+    from .call_variant import _get_handles
+
+    bam_handler, fasta_handler = _get_handles(options.bam, options.fasta)
+    suffix = "_hp" if options.use_hp_info else ""
+    file_name = os.path.join(
+        output_dir,
+        f"pepper_variants_images_thread_{process_id}_{timestr}{suffix}"
+        ".hdf5")
+    my_intervals = [interval for i, interval in enumerate(intervals)
+                    if i % n_workers == process_id]
+    written = 0
+    with ImageStore(file_name, "w") as store:
+        for contig, start, end in my_intervals:
+            windows = create_region_summary(options, bam_handler,
+                                            fasta_handler, contig, start,
+                                            end, bed_list)
+            if windows:
+                store.write_summary(f"{contig}_{start}_{end}", windows,
+                                    options.train_mode)
+                written += 1
+    if written == 0:
+        os.remove(file_name)
+        return None
+    return file_name
+
+
 def make_images(options, output_dir: str):
     """Generate candidate images and save to HDF5
     (ImageGenerationUI.py:190-274 layout: one file per worker, one summary
     group per interval)."""
+    import concurrent.futures
+
     os.makedirs(output_dir, exist_ok=True)
     bam_handler = BamReader(options.bam)
     fasta_handler = FastaReader(options.fasta)
@@ -34,19 +68,19 @@ def make_images(options, output_dir: str):
              f"{len(intervals)} TOTAL BASES: {total_bases}")
 
     timestr = time.strftime("%m%d%Y_%H%M%S")
-    suffix = "_hp" if options.use_hp_info else ""
-    file_name = os.path.join(
-        output_dir, f"pepper_variants_images_thread_0_{timestr}{suffix}.hdf5")
-    with ImageStore(file_name, "w") as store:
-        for contig, start, end in intervals:
-            windows = create_region_summary(options, bam_handler,
-                                            fasta_handler, contig, start,
-                                            end, bed_list)
-            if windows:
-                store.write_summary(f"{contig}_{start}_{end}", windows,
-                                    options.train_mode)
+    n_workers = max(1, min(options.threads, len(intervals)))
+    tasks = [(options, intervals, bed_list, output_dir, process_id,
+              n_workers, timestr)
+             for process_id in range(n_workers)]
+    if n_workers == 1:
+        files = [_image_worker(tasks[0])]
+    else:
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=n_workers) as pool:
+            files = list(pool.map(_image_worker, tasks))
+    files = [f for f in files if f]
     log_info("FINISHED IMAGE GENERATION")
-    return file_name
+    return files[0] if len(files) == 1 else files
 
 
 def _image_files(input_dir: str):
