@@ -40,7 +40,8 @@ def build_genome(base, name, length, n_snps, n_noise, seed):
     noise_hap = [(p, ref[p], alt[ref[p]]) for p in noise_positions]
     records = simulate_reads(ref, [hap1, hap2, noise_hap], read_len=2000,
                              strides=[160, 160, 550],
-                             name_prefix=name)
+                             name_prefix=name, error_rate=0.03,
+                             error_seed=seed)
     directory = os.path.join(base, name)
     os.makedirs(directory, exist_ok=True)
     bam = os.path.join(directory, "reads.bam")

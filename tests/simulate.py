@@ -84,21 +84,33 @@ def read_from_haplotype(ref: str, segments, ref_start: int, ref_span: int):
 
 
 def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
-                   qual=30, name_prefix="sim", strides=None):
+                   qual=30, name_prefix="sim", strides=None,
+                   error_rate=0.0, error_seed=1234):
     """Tile reads across the genome alternating haplotypes/strands.
-    strides: optional per-haplotype stride list (coverage weighting)."""
+    strides: optional per-haplotype stride list (coverage weighting).
+    error_rate: per-base substitution error probability (sequencing
+    noise), with low quality (7) at the erroneous bases."""
     records = []
     count = 0
+    error_rng = np.random.RandomState(error_seed)
     for hap_index, variants in enumerate(haplotypes):
         segments = apply_variants(ref, variants)
         hap_stride = strides[hap_index] if strides else stride
         for start in range(0, len(ref) - read_len + 1, hap_stride):
             seq, cigar = read_from_haplotype(ref, segments, start, read_len)
+            quals = [qual] * len(seq)
+            if error_rate > 0:
+                seq_list = list(seq)
+                n_errors = error_rng.binomial(len(seq), error_rate)
+                for idx in error_rng.randint(0, len(seq), size=n_errors):
+                    seq_list[idx] = "ACGT"[error_rng.randint(4)]
+                    quals[idx] = 7
+                seq = "".join(seq_list)
             flag = 0x10 if count % 2 else 0
             records.append(BamRecord(
                 name=f"{name_prefix}_{hap_index}_{count}", ref_id=0,
                 pos=start, mapq=mapq, cigar=cigar, seq=seq,
-                qual=[qual] * len(seq), flag=flag,
+                qual=quals, flag=flag,
                 hp=(hap_index + 1) if hap_index < 2 else 0))
             count += 1
     records.sort(key=lambda r: r.pos)
