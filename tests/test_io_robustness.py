@@ -113,3 +113,32 @@ def test_bam_with_n_bases(tmp_path):
         candidate_region_end=199)
     # N-containing candidates are recorded ('1N') but filtered by decode
     assert all(w.image.shape == (33, 26) for w in windows)
+
+
+def test_bai_high_coordinate_bins(tmp_path):
+    """Reads at multi-Mb coordinates exercise the deeper reg2bin levels
+    and a long 16kb linear index."""
+    contig_len = 60_000_000
+    rng = np.random.RandomState(6)
+    local = random_reference(3000, seed=6)
+    positions = [1_000_000, 16_777_216 - 100, 16_777_216 + 50,
+                 33_554_432, 59_990_000]
+    records = []
+    for i, pos in enumerate(positions):
+        seq = local[i * 500:(i * 500) + 400]
+        records.append(BamRecord(f"hi{i}", 0, pos, 60, "400M", seq,
+                                 [30] * 400))
+    bam_path = str(tmp_path / "hi.bam")
+    write_bam(bam_path, [("big", contig_len)], records)
+    reader = BamReader(bam_path)
+
+    for i, pos in enumerate(positions):
+        batch = reader.get_reads("big", pos - 1000, pos + 1500)
+        assert f"hi{i}" in batch.names, (i, pos)
+        idx = batch.names.index(f"hi{i}")
+        assert batch.pos[idx] == pos
+    # window straddling a 2^24 bin boundary catches both nearby reads
+    batch = reader.get_reads("big", 16_777_216 - 200, 16_777_216 + 200)
+    assert sorted(batch.names) == ["hi1", "hi2"]
+    # empty far-away window
+    assert reader.get_reads("big", 50_000_000, 50_010_000).n_reads == 0
