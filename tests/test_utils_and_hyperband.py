@@ -93,3 +93,44 @@ def test_compare_vcfs_and_stats(tmp_path):
     assert stats["counts"]["het"] == 2
     assert stats["counts"]["hom_alt"] == 1
     assert len(stats["vafs"]) == 3
+
+
+def test_render_candidate_window_and_reads(tmp_path):
+    from pepper_tpu.io.bam import BamReader
+    from pepper_tpu.io.bam_writer import BamRecord, write_bam
+    from pepper_tpu.ops.pileup_ref import RegionalSummary
+    from pepper_tpu.utils.pileup_text import (render_candidate_window,
+                                              render_reads)
+
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    snp_seq = ref[:20] + "T" + ref[21:]
+    reads = [BamRecord(f"m{i}", 0, 0, 60, "40M", ref, [30] * 40)
+             for i in range(4)]
+    reads += [BamRecord("s0", 0, 0, 60, "40M", snp_seq, [30] * 40),
+              BamRecord("s1", 0, 0, 60, "40M", snp_seq, [30] * 40,
+                        flag=0x10)]
+    path = str(tmp_path / "r.bam")
+    write_bam(path, [("c", 40)], sorted(reads, key=lambda r: r.pos))
+    batch = BamReader(path).get_reads("c", 0, 39)
+
+    text = render_reads(batch, ref, 0, 39)
+    lines = text.split("\n")
+    assert lines[0].startswith("REF: ")
+    assert len(lines) == 1 + batch.n_reads
+    # mismatch shown as the alt base, matches as dots
+    snp_rows = [line for line in lines[1:] if "T" in line[5:]]
+    assert len(snp_rows) == 2
+    assert all(line[5:].count(".") > 30 for line in lines[1:])
+
+    summary = RegionalSummary("c", 0, 39, ref)
+    summary.generate_max_insert_summary(batch)
+    windows = summary.generate_summary(
+        batch, min_snp_baseq=1, min_indel_baseq=1, snp_freq_threshold=0.1,
+        insert_freq_threshold=0.15, delete_freq_threshold=0.15,
+        min_coverage_threshold=1, snp_candidate_freq_threshold=0.1,
+        indel_candidate_freq_threshold=0.1, candidate_support_threshold=1,
+        skip_indels=False, candidate_region_start=0,
+        candidate_region_end=39)
+    dump = render_candidate_window(windows[0])
+    assert "CANDIDATE PILEUP" in dump and "Position: 20" in dump
+    assert "REFB:" in dump
