@@ -85,8 +85,12 @@ class ImageStore:
 
 
 def _parse_str_list(value) -> list[str]:
-    """Reference-style parse of a stringified candidate list
-    (CandidateFinder.py:374-377)."""
+    """Parse a candidate list: either our stringified form ("['1T']") or
+    the reference's (N, 1) vlen-str rows, which arrive as arrays/lists
+    (CandidateFinder.py:374-377 does the equivalent str-mangling)."""
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return [x.decode() if isinstance(x, bytes) else str(x)
+                for x in np.asarray(value).ravel()]
     if isinstance(value, bytes):
         value = value.decode()
     parsed = ast.literal_eval(value)
@@ -94,6 +98,8 @@ def _parse_str_list(value) -> list[str]:
 
 
 def _parse_int_list(value) -> list[int]:
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return [int(x) for x in np.asarray(value).ravel()]
     if isinstance(value, bytes):
         value = value.decode()
     return [int(x) for x in ast.literal_eval(value)]
