@@ -11,11 +11,17 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from .bgzf_writer import BgzfWriter
 
 _NT16 = {"=": 0, "A": 1, "C": 2, "M": 3, "G": 4, "R": 5, "S": 6, "V": 7,
          "T": 8, "W": 9, "Y": 10, "H": 11, "K": 12, "D": 13, "B": 14,
          "N": 15}
+_NT16_TABLE = np.full(256, 15, np.uint8)
+for _base, _code in _NT16.items():
+    _NT16_TABLE[ord(_base)] = _code
+    _NT16_TABLE[ord(_base.lower())] = _code
 _OP_CODE = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7,
             "X": 8}
 _CONSUMES_REF = {0, 2, 3, 7, 8}
@@ -70,10 +76,12 @@ class BamRecord:
         span = max(1, reference_span(cigar_ops))
         name_bytes = self.name.encode() + b"\0"
         l_seq = len(self.seq)
-        seq_bytes = bytearray((l_seq + 1) // 2)
-        for i, base in enumerate(self.seq):
-            code = _NT16.get(base.upper(), 15)
-            seq_bytes[i // 2] |= code << (4 if i % 2 == 0 else 0)
+        codes = _NT16_TABLE[
+            np.frombuffer(self.seq.encode("latin-1"), np.uint8)]
+        if l_seq % 2:
+            codes = np.append(codes, np.uint8(0))
+        seq_bytes = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8) \
+            .tobytes()
         qual = self.qual if self.qual is not None else [255] * l_seq
         aux = b""
         if self.hp is not None:
