@@ -1,0 +1,100 @@
+"""Chromosome-scale soak: train once, then call a chr20-class simulated
+genome through the real CLI path and score it.
+
+  python examples/chr_scale_run.py [genome_mb] [threads]
+"""
+
+import gzip
+import os
+import sys
+import tempfile
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+from pepper_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from acceptance_run import build_genome  # noqa: E402
+
+
+def main():
+    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    threads = int(sys.argv[2]) if len(sys.argv) > 2 else (os.cpu_count() or 8)
+
+    from pepper_tpu.models.checkpoint import load_params
+    from pepper_tpu.models.transducer import TransducerConfig
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.pipeline.call_variant import call_variant
+    from pepper_tpu.pipeline.stages import make_images
+    from pepper_tpu.train.trainer import train_model
+    from pepper_tpu.utils.profiling import StageTimer, log_line
+
+    base = tempfile.mkdtemp(prefix="pepper_chr_")
+    with StageTimer("SIMULATE TRAIN GENOME"):
+        train_genome = build_genome(base, "train", 500_000, 1500, 2500, 31)
+    with StageTimer(f"SIMULATE {genome_mb} Mb TEST GENOME"):
+        test_genome = build_genome(base, "test",
+                                   int(genome_mb * 1_000_000),
+                                   int(genome_mb * 700),
+                                   int(genome_mb * 1000), 32)
+
+    train_options = set_parameters(PepperOptions(
+        bam=train_genome["bam"], fasta=train_genome["fasta"],
+        ont_r9_guppy5_sup=True, sub_command="make_train_images",
+        train_mode=True, truth_vcf=train_genome["truth"],
+        region_bed=train_genome["bed"], random_draw_probability=1.0,
+        region="chrA", threads=threads))
+    image_dir = os.path.join(base, "train_images")
+    with StageTimer("TRAIN IMAGE GENERATION"):
+        make_images(train_options, image_dir)
+    with StageTimer("TRAINING"):
+        model_path, accuracy = train_model(
+            PepperOptions(batch_size=64), image_dir,
+            os.path.join(base, "run"), epochs=12, learning_rate=3e-4,
+            step_size=10_000, batch_size=64, holdout_fraction=0.1, seed=0,
+            config=TransducerConfig(hidden=64, linear_size=128))
+    log_line(f"TRAIN ACCURACY: {accuracy:.2f}")
+
+    params, _ = load_params(os.path.join(base, "run",
+                                         "pepper_model_best.npz"))
+    call_options = set_parameters(PepperOptions(
+        bam=test_genome["bam"], fasta=test_genome["fasta"],
+        output_dir=os.path.join(base, "calls"), ont_r9_guppy5_sup=True,
+        sub_command="call_variant", region="chrA", threads=threads,
+        batch_size=2048))
+    with StageTimer("CALL_VARIANT (chr-scale)"):
+        call_variant(call_options, params=params)
+
+    called = {}
+    with gzip.open(os.path.join(base, "calls",
+                                "PEPPER_VARIANT_FULL.vcf.gz"), "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip().split("\t")
+            sample = dict(zip(fields[8].split(":"), fields[9].split(":")))
+            called[int(fields[1]) - 1] = (fields[3], fields[4], sample["GT"])
+
+    truth_positions = {p for p, _, _, _ in test_genome["variants"]}
+    tp = gt_ok = 0
+    for pos, ref_a, alt_a, genotype in test_genome["variants"]:
+        if pos in called and called[pos][1] == alt_a \
+                and called[pos][2] != "0/0":
+            tp += 1
+            expected = "1/1" if genotype == "1|1" else "0/1"
+            gt_ok += called[pos][2] == expected
+    fp = sum(1 for p, (_, _, gt) in called.items()
+             if gt != "0/0" and p not in truth_positions)
+    n_true = len(test_genome["variants"])
+    log_line(f"RECALL: {tp / n_true:.4f} ({tp}/{n_true})  "
+             f"PRECISION: {tp / max(1, tp + fp):.4f} (FP={fp})  "
+             f"GT CONCORDANCE: {gt_ok / max(1, tp):.4f}")
+    log_line(f"OUTPUT: {base}")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,9 @@ class InferenceRunner:
             if params is not None:
                 self.params = replicate(mesh, params)
         if quantized:
+            if mesh is not None:
+                raise ValueError("quantized serving over a mesh is not "
+                                 "supported yet; drop one of the options")
             from ..models.quantize import quantize_params
 
             self._q_params, self._q_scales = quantize_params(params)

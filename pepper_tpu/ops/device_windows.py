@@ -151,8 +151,7 @@ def classify_region_device(params, rows, cols, deltas, ref_values,
     from ..models.transducer import transducer_apply
     from .pileup_kernel import accumulate_pallas
 
-    image = accumulate_pallas(rows, cols, deltas,
-                              (region_rows, ref_values.shape[0] and 26))
+    image = accumulate_pallas(rows, cols, deltas, (region_rows, 26))
     image = jnp.asarray(image, jnp.int32)
     image = image.at[:ref_values.shape[0], 0].add(
         jnp.asarray(ref_values, jnp.int32))
