@@ -24,9 +24,13 @@ def apply_variants(ref: str, variants):
     return segments
 
 
-def read_from_haplotype(ref: str, segments, ref_start: int, ref_span: int):
+def read_from_haplotype(ref: str, segments, ref_start: int, ref_span: int,
+                        seg_positions=None):
     """Extract (seq, cigar) for a read covering reference coordinates
-    [ref_start, ref_start+ref_span)."""
+    [ref_start, ref_start+ref_span).  seg_positions: optional precomputed
+    [seg[0] for seg in segments] to make the overlap seek O(log n)."""
+    import bisect
+
     ref_end = ref_start + ref_span
     seq_parts = []
     cigar_parts = []
@@ -39,7 +43,13 @@ def read_from_haplotype(ref: str, segments, ref_start: int, ref_span: int):
         else:
             cigar_parts.append([op, length])
 
-    for seg_pos, seg_ref_len, seg_alt in segments:
+    if seg_positions is None:
+        seg_positions = [s[0] for s in segments]
+    # segments are position-sorted; skip straight to the first overlap
+    first = max(0, bisect.bisect_right(seg_positions, ref_start) - 1)
+    for seg_pos, seg_ref_len, seg_alt in segments[first:]:
+        if seg_pos >= ref_end:
+            break
         seg_end = seg_pos + seg_ref_len
         if seg_end <= ref_start or seg_pos >= ref_end:
             continue
@@ -95,9 +105,11 @@ def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
     error_rng = np.random.RandomState(error_seed)
     for hap_index, variants in enumerate(haplotypes):
         segments = apply_variants(ref, variants)
+        seg_positions = [s[0] for s in segments]
         hap_stride = strides[hap_index] if strides else stride
         for start in range(0, len(ref) - read_len + 1, hap_stride):
-            seq, cigar = read_from_haplotype(ref, segments, start, read_len)
+            seq, cigar = read_from_haplotype(ref, segments, start, read_len,
+                                             seg_positions)
             quals = [qual] * len(seq)
             if error_rate > 0:
                 seq_list = list(seq)
