@@ -265,7 +265,39 @@ def make_polish_train_images(options, truth_bam: str, output_dir: str,
     return file_name
 
 
+def _polish_image_worker(args):
+    """One worker process: its interval share -> one HDF5 file (the
+    reference's image_generator, pepper ImageGenerationUI.py:192-233)."""
+    options, intervals, output_dir, process_id, n_workers, timestr = args
+    bam_handler = BamReader(options.bam)
+    fasta_handler = FastaReader(options.fasta)
+    file_name = os.path.join(
+        output_dir, f"pepper_images_thread_{process_id}_{timestr}.hdf")
+    my_intervals = [interval for i, interval in enumerate(intervals)
+                    if i % n_workers == process_id]
+    written = 0
+    with PolishImageStore(file_name, "w") as store:
+        for contig, start, end in my_intervals:
+            images, labels, positions, chunk_ids = summarize_interval(
+                bam_handler, fasta_handler, contig, start, end,
+                options.downsample_rate,
+                realignment=getattr(options, "realignment", True))
+            region = (contig, start, end)
+            for i, image in enumerate(images):
+                name = f"{contig}_{start}_{end}_{chunk_ids[i]}"
+                store.write_summary(region, image, labels[i],
+                                    positions[i][:, 0], positions[i][:, 1],
+                                    chunk_ids[i], name)
+                written += 1
+    if written == 0:
+        os.remove(file_name)
+        return None
+    return file_name
+
+
 def make_polish_images(options, output_dir: str):
+    import concurrent.futures
+
     os.makedirs(output_dir, exist_ok=True)
     bam_handler = BamReader(options.bam)
     fasta_handler = FastaReader(options.fasta)
@@ -275,23 +307,18 @@ def make_polish_images(options, output_dir: str):
     log_info(f"TOTAL CONTIGS: {len(chr_list)} TOTAL INTERVALS: "
              f"{len(intervals)}")
     timestr = time.strftime("%m%d%Y_%H%M%S")
-    file_name = os.path.join(output_dir,
-                             f"pepper_images_thread_0_{timestr}.hdf")
-    with PolishImageStore(file_name, "w") as store:
-        for contig, start, end in intervals:
-            images, labels, positions, chunk_ids = summarize_interval(
-                bam_handler, fasta_handler, contig, start, end,
-                options.downsample_rate,
-                realignment=getattr(options, "realignment", True))
-            region = (contig, start, end)
-            for i, image in enumerate(images):
-                position = positions[i][:, 0]
-                index = positions[i][:, 1]
-                name = f"{contig}_{start}_{end}_{chunk_ids[i]}"
-                store.write_summary(region, image, labels[i], position,
-                                    index, chunk_ids[i], name)
+    n_workers = max(1, min(getattr(options, "threads", 1), len(intervals)))
+    tasks = [(options, intervals, output_dir, process_id, n_workers,
+              timestr) for process_id in range(n_workers)]
+    if n_workers == 1:
+        files = [_polish_image_worker(tasks[0])]
+    else:
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=n_workers) as pool:
+            files = list(pool.map(_polish_image_worker, tasks))
+    files = [f for f in files if f]
     log_info("FINISHED IMAGE GENERATION")
-    return file_name
+    return files[0] if len(files) == 1 else files
 
 
 def call_consensus(options, image_dir: str, output_dir: str, params):
