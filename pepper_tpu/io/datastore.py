@@ -146,6 +146,59 @@ class PredictionStore:
         fh[f"{grp}/base_prediction"] = np.array(
             [p.prediction_base for p in predictions], np.float64)
 
+    def write_prediction_hp(self, contig, contig_start, contig_end, chunk_id,
+                            position, index, base_predictions_hp1,
+                            base_predictions_hp2):
+        """HP-mode prediction layout, reference-compatible
+        (DataStorePredict.py:69-98): keyed predictions/<contig>/
+        <contig-start-end>/<chunk_id>/{position,index,
+        base_predictions_hp1,base_predictions_hp2}, votes stored int16."""
+        prefix = f"{contig}-{int(contig_start)}-{int(contig_end)}"
+        fh = self.file_handler
+        region = f"predictions/{contig}/{prefix}"
+        if f"{region}/contig_start" not in fh:
+            fh[f"{region}/contig_start"] = int(contig_start)
+            fh[f"{region}/contig_end"] = int(contig_end)
+        chunk = f"{region}/{int(chunk_id)}"
+        if f"{chunk}/position" in fh:   # resumed run
+            return
+        fh[f"{chunk}/position"] = np.asarray(position, np.int32)
+        fh[f"{chunk}/index"] = np.asarray(index, np.int32)
+        fh[f"{chunk}/base_predictions_hp1"] = np.asarray(
+            base_predictions_hp1, np.int16)
+        fh[f"{chunk}/base_predictions_hp2"] = np.asarray(
+            base_predictions_hp2, np.int16)
+
+    def read_prediction_hp(self, contig, contig_start, contig_end, chunk_id):
+        prefix = f"{contig}-{int(contig_start)}-{int(contig_end)}"
+        grp = self.file_handler[
+            f"predictions/{contig}/{prefix}/{int(chunk_id)}"]
+        return (grp["position"][()], grp["index"][()],
+                grp["base_predictions_hp1"][()],
+                grp["base_predictions_hp2"][()])
+
+    def hp_chunk_keys(self):
+        """All (contig, contig_start, contig_end, chunk_id) tuples present."""
+        keys = []
+        if "predictions" not in self.file_handler:
+            return keys
+        preds = self.file_handler["predictions"]
+        for contig in preds:
+            node = preds[contig]
+            if not isinstance(node, h5py.Group):
+                continue
+            for prefix in node:
+                region = node[prefix]
+                if "contig_start" not in region:
+                    continue
+                start = int(region["contig_start"][()])
+                end = int(region["contig_end"][()])
+                for name in region:
+                    if name in ("contig_start", "contig_end"):
+                        continue
+                    keys.append((contig, start, end, int(name)))
+        return keys
+
     def batch_names(self):
         if "predictions" not in self.file_handler:
             return []
