@@ -159,6 +159,10 @@ def build_parser():
     _add_inference_args(p)
     _add_train_args(p)
     p.add_argument("--use_hp_info", action="store_true", default=False)
+    p.add_argument("--model_type", default="lstm",
+                   choices=("lstm", "no_cnn", "transformer"),
+                   help="Window-classifier family (default: the reference's "
+                        "live bi-LSTM transducer).")
 
     p = sub.add_parser("test_model", help="Evaluate a model on labeled "
                        "images.")
@@ -278,7 +282,8 @@ def main(argv=None):
         if not options.dry:
             from ..models.checkpoint import load_params
 
-            params, _ = load_params(options.model_path)
+            params, meta = load_params(options.model_path)
+            options.model_type = meta.get("model_type", "lstm")
         if args.sharded or jax.process_count() > 1:
             call_variant_sharded(options, params=params)
         else:
@@ -295,7 +300,8 @@ def main(argv=None):
         if not options.dry:
             from ..models.checkpoint import load_params
 
-            params, _ = load_params(options.model_path)
+            params, meta = load_params(options.model_path)
+            options.model_type = meta.get("model_type", "lstm")
         run_inference(options, args.image_dir, options.output_dir,
                       params=params)
     elif args.sub_command == "find_candidates":
@@ -309,7 +315,7 @@ def main(argv=None):
                     epochs=args.epochs, learning_rate=args.learning_rate,
                     weight_decay=args.weight_decay, step_size=args.step_size,
                     retrain_model_path=args.retrain_model_path,
-                    test_file=args.test_file)
+                    test_file=args.test_file, model_type=args.model_type)
     elif args.sub_command == "test_model":
         from ..train.trainer import test_model
 

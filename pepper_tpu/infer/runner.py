@@ -20,7 +20,8 @@ class InferenceRunner:
                  compute_dtype: str = "float32",
                  window: int = ImageOptions.CANDIDATE_WINDOW_SIZE + 1,
                  features: int = ImageOptions.IMAGE_HEIGHT,
-                 quantized: bool = False, mesh=None):
+                 quantized: bool = False, mesh=None,
+                 model_type: str = "lstm"):
         import jax.numpy as jnp
 
         self.params = params
@@ -31,6 +32,16 @@ class InferenceRunner:
                               else jnp.float32)
         self.quantized = quantized
         self.mesh = mesh
+        self.model_type = model_type
+        self._family_infer = None
+        if model_type != "lstm":
+            if quantized:
+                raise ValueError("quantized serving is only supported for "
+                                 "the lstm family")
+            from ..models.registry import make_family
+
+            self._family_infer = make_family(
+                model_type, image_features=features, window=window).infer
         if mesh is not None:
             # multi-chip: batch sharded over the data axis, params
             # replicated; round the padded batch up to the device count
@@ -58,6 +69,9 @@ class InferenceRunner:
 
             return transducer_infer_quantized(self._q_params, self._q_scales,
                                               padded)
+        if self._family_infer is not None:
+            return self._family_infer(self.params, padded,
+                                      self.compute_dtype)
         return transducer_infer(self.params, padded, self.compute_dtype)
 
     def predict_images(self, images: np.ndarray) -> np.ndarray:

@@ -223,12 +223,13 @@ def init_transformer_params(key, config: TransformerConfig = TransformerConfig()
         "conv2": _init_conv(keys[1], config.conv_channels,
                             config.conv_channels, 3, 3, dtype),
         "bn2": _init_bn(config.conv_channels, dtype),
-        "layers": [],
+        # keyed "0".."N-1" (not a list) so checkpoint '/'-flattening works
+        "layers": {},
     }
     for i in range(config.num_layers):
         lk = jax.random.split(keys[2 + i], 4)
         scale = 1.0 / D ** 0.5
-        params["layers"].append({
+        params["layers"][str(i)] = ({
             # packed qkv like torch's in_proj: (D, 3D) right-multiply layout
             "w_qkv": uniform_init(lk[0], (D, 3 * D), scale, dtype),
             "b_qkv": jnp.zeros((3 * D,), dtype),
@@ -300,8 +301,8 @@ def transformer_logits(params, x, *,
     out = _batchnorm2d(out, params["bn2"], train=train)
     out = jax.nn.relu(out + img)                 # 1-channel residual broadcast
     out = out.reshape(B, T, config.conv_channels * F)
-    for lp in params["layers"]:
-        out = _encoder_layer(out, lp, config.num_heads)
+    for i in range(len(params["layers"])):
+        out = _encoder_layer(out, params["layers"][str(i)], config.num_heads)
     out = out.reshape(B, -1)
     for i in range(1, 6):
         out = jax.nn.relu(linear(out, params[f"linear_{i}"]))
@@ -324,12 +325,12 @@ def transformer_params_from_state_dict(state_dict):
         "bn1": _convert_bn(sd, "bn1"),
         "conv2": _convert_conv(sd, "conv2"),
         "bn2": _convert_bn(sd, "bn2"),
-        "layers": [],
+        "layers": {},
     }
     i = 0
     while f"encoder.layers.{i}.self_attn.in_proj_weight" in sd:
         pre = f"encoder.layers.{i}"
-        params["layers"].append({
+        params["layers"][str(i)] = ({
             "w_qkv": _to_numpy(sd[f"{pre}.self_attn.in_proj_weight"]).T.copy(),
             "b_qkv": _to_numpy(sd[f"{pre}.self_attn.in_proj_bias"]),
             "out_proj": _convert_linear(sd, f"{pre}.self_attn.out_proj"),

@@ -146,6 +146,7 @@ class PepperOptions:
     num_workers: int = 0
     dry: bool = False
     quantized: bool = False
+    model_type: str = "lstm"   # window-classifier family (models/registry.py)
 
     # candidate finding
     allowed_multiallelics: int | None = None

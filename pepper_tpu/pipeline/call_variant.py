@@ -106,7 +106,8 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
         predict_fn = fake_predict
     else:
         runner = InferenceRunner(params, batch_size=options.batch_size,
-                                 quantized=options.quantized)
+                                 quantized=options.quantized,
+                                 model_type=options.model_type)
         predict_fn = runner.predict
 
     output_file = os.path.join(prediction_dir,
@@ -142,7 +143,7 @@ def _make_predict_fn(options, params):
         params, batch_size=options.batch_size,
         window=size_options.CANDIDATE_WINDOW_SIZE + 1,
         features=size_options.IMAGE_HEIGHT,
-        quantized=options.quantized)
+        quantized=options.quantized, model_type=options.model_type)
     return runner.predict
 
 

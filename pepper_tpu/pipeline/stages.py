@@ -110,7 +110,7 @@ def run_inference(options, image_dir: str, output_dir: str, params=None):
             params, batch_size=options.batch_size,
             window=size_options.CANDIDATE_WINDOW_SIZE + 1,
             features=size_options.IMAGE_HEIGHT,
-            quantized=options.quantized)
+            quantized=options.quantized, model_type=options.model_type)
     batch_no = 0
     with PredictionStore(output_file, "w") as store:
         for image_file in _image_files(image_dir):

@@ -34,14 +34,24 @@ def _shardings(mesh):
     return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
 
 
+def _default_logits(params, images, train, rng, dropout_rate=0.2):
+    return transducer_logits(params, images, train=train,
+                             dropout_rate=dropout_rate, rng=rng)
+
+
 def make_train_step(optimizer: optax.GradientTransformation, mesh=None,
-                    dropout_rate=0.2):
+                    dropout_rate=0.2, logits_fn=None):
     """Returns jitted (params, opt_state, images, labels, rng, mask) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics).  logits_fn(params, x, train, rng) selects
+    the model family (models/registry.py); default is the live LSTM
+    transducer."""
 
     def loss_fn(params, images, labels, mask, rng):
-        logits = transducer_logits(params, images, train=True,
-                                   dropout_rate=dropout_rate, rng=rng)
+        if logits_fn is None:
+            logits = _default_logits(params, images, True, rng,
+                                     dropout_rate=dropout_rate)
+        else:
+            logits = logits_fn(params, images, True, rng)
         loss = cross_entropy_sum(logits, labels, mask)
         correct = jnp.sum(
             (jnp.argmax(logits, axis=-1) == labels) * mask)
@@ -68,7 +78,7 @@ def make_train_step(optimizer: optax.GradientTransformation, mesh=None,
     )
 
 
-def make_eval_step(num_classes=3, mesh=None):
+def make_eval_step(num_classes=3, mesh=None, logits_fn=None):
     """Returns jitted (params, images, labels, mask) ->
     (loss, confusion_matrix).
 
@@ -76,7 +86,10 @@ def make_eval_step(num_classes=3, mesh=None):
     the reference evaluator (models/test.py:35-108)."""
 
     def step(params, images, labels, mask):
-        logits = transducer_logits(params, images, train=False)
+        if logits_fn is None:
+            logits = transducer_logits(params, images, train=False)
+        else:
+            logits = logits_fn(params, images, False, None)
         loss = cross_entropy_sum(logits, labels, mask)
         preds = jnp.argmax(logits, axis=-1)
         confusion = jnp.zeros((num_classes, num_classes), jnp.int32)

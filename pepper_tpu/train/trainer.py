@@ -85,7 +85,8 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                 step_size: int = 100, batch_size: int | None = None,
                 retrain_model_path: str | None = None,
                 test_file: str | None = None, holdout_fraction: float = 0.1,
-                seed: int = 0, config: TransducerConfig | None = None):
+                seed: int = 0, config: TransducerConfig | None = None,
+                model_type: str = "lstm"):
     os.makedirs(output_dir, exist_ok=True)
     images, type_labels, _ = load_image_dir(image_dir)
     _log(f"TOTAL TRAINING EXAMPLES: {len(images)}")
@@ -112,12 +113,28 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
         else:
             config = TransducerConfig()
 
+    family = None
+    if model_type != "lstm":
+        from ..models.registry import make_family
+
+        family = make_family(model_type,
+                             image_features=config.image_features,
+                             window=config.window)
+
     if retrain_model_path:
-        params, _ = load_params(retrain_model_path)
+        params, retrain_meta = load_params(retrain_model_path)
         params = jax.tree_util.tree_map(np.asarray, params)
+        if retrain_meta.get("model_type", "lstm") != model_type:
+            raise ValueError(
+                f"checkpoint {retrain_model_path} is model_type "
+                f"{retrain_meta.get('model_type', 'lstm')!r}, not "
+                f"{model_type!r}")
         _log(f"RETRAINING FROM: {retrain_model_path}")
-    else:
+    elif model_type == "lstm":
         params = init_transducer_params(jax.random.PRNGKey(seed), config)
+    else:
+        params = family.init(jax.random.PRNGKey(seed))
+        _log(f"MODEL FAMILY: {model_type}")
 
     scheduler = PlateauScheduler(learning_rate,
                                  min_lr=learning_rate * 0.75)
@@ -135,8 +152,9 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
 
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
-    train_step = make_train_step(optimizer, mesh=mesh)
-    eval_step = make_eval_step(mesh=mesh)
+    logits_fn = None if model_type == "lstm" else family.logits
+    train_step = make_train_step(optimizer, mesh=mesh, logits_fn=logits_fn)
+    eval_step = make_eval_step(mesh=mesh, logits_fn=logits_fn)
 
     train_log = open(os.path.join(output_dir, "train_loss.csv"), "w")
     test_log = open(os.path.join(output_dir, "test_loss.csv"), "w")
@@ -183,7 +201,8 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                 save_params(checkpoint_path, host_params,
                             {"epochs": epoch, "step": global_step,
                              "accuracy": float(accuracy),
-                             "hidden_size": config.hidden, "gru_layers": 1})
+                             "hidden_size": config.hidden, "gru_layers": 1,
+                             "model_type": model_type})
                 try:  # crash-safe full train state (params + optimizer)
                     from .orbax_io import save_train_state
 
@@ -200,7 +219,8 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                                 {"epochs": epoch, "step": global_step,
                                  "accuracy": float(accuracy),
                                  "hidden_size": config.hidden,
-                                 "gru_layers": 1})
+                                 "gru_layers": 1,
+                                 "model_type": model_type})
         _log(f"EPOCH {epoch} TRAIN LOSS: {epoch_loss:.3f}")
 
     # final eval + checkpoint
@@ -211,7 +231,8 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
     confusion_log.write(f"final\n{confusion}\n")
     host_params = jax.tree_util.tree_map(np.asarray, params)
     meta = {"epochs": epochs, "accuracy": float(accuracy),
-            "hidden_size": config.hidden, "gru_layers": 1}
+            "hidden_size": config.hidden, "gru_layers": 1,
+            "model_type": model_type}
     save_params(os.path.join(output_dir, "pepper_model_final.npz"),
                 host_params, meta)
     if accuracy > best_accuracy:
@@ -226,11 +247,20 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
 def test_model(options, image_dir: str):
     """Standalone evaluation (TestModule.py:12 / models/test.py:35-108)."""
     images, type_labels, _ = load_image_dir(image_dir)
-    params, _ = load_params(options.model_path)
+    params, meta = load_params(options.model_path)
     mesh = get_mesh()
     n_devices = len(mesh.devices.ravel())
     params = replicate(mesh, jax.tree_util.tree_map(np.asarray, params))
-    eval_step = make_eval_step(mesh=mesh)
+    model_type = meta.get("model_type", "lstm")
+    logits_fn = None
+    if model_type != "lstm":
+        from ..models.registry import make_family
+
+        logits_fn = make_family(
+            model_type, image_features=images.shape[2],
+            window=images.shape[1]).logits
+        _log(f"MODEL FAMILY: {model_type}")
+    eval_step = make_eval_step(mesh=mesh, logits_fn=logits_fn)
     loss, confusion, accuracy = evaluate(params, images, type_labels,
                                          eval_step, options.batch_size,
                                          n_devices)
