@@ -1,35 +1,71 @@
-"""Weight quantization for serving — the role of the reference's
-`--quantized` ONNX dynamic QUInt8 mode (predict_distributed_cpu.py:188-193).
+"""Int8 serving mode — the role of the reference's `--quantized` ONNX
+dynamic QUInt8 mode (predict_distributed_cpu.py:188-193), executed as TRUE
+int8 MXU matmuls.
 
-Weights are stored int8 with per-output-channel scales and dequantized to
-the compute dtype inside the jitted forward (XLA fuses the dequant into the
-matmul's operand read), halving checkpoint/HBM footprint for the weights.
+The TPU v5e MXU runs int8×int8→int32 at ~1.8× its bf16 rate (measured
+~334 TOP/s vs ~187 TFLOP/s through XLA `dot_general` on this chip), so all
+large matmuls outside the recurrence run in int8:
+
+  * weights: per-output-channel int8 (absmax/127), computed once;
+  * activations: dynamic per-row int8 (absmax/127), matching the
+    reference's *dynamic* quantization choice;
+  * accumulation: int32, rescaled to float32 by (row_scale × col_scale);
+  * the LSTM recurrent matmuls stay bf16 (h changes every step; the
+    per-step quantization overhead would exceed the matmul saving at
+    H=256) — their weights are stored unquantized;
+  * the recurrence itself runs through the shared Pallas kernel on TPU
+    (ops/lstm_kernel.py takes precomputed projections) or the lax.scan
+    fallback elsewhere.
+
+This halves weight HBM traffic AND nearly doubles the MXU rate of ~57% of
+the model FLOPs (decoder input projection + dense head), versus the
+previous dequantize-to-bf16 implementation which only saved weight memory.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+_QUANT_PREFIXES = ("w_ih", "w")     # input projections + dense weights
+_KEEP_FLOAT = ("w_hh",)             # recurrent weights stay bf16
+
+
+def _should_quantize(key: str, leaf) -> bool:
+    if np.asarray(leaf).ndim < 2:
+        return False                # biases / vectors
+    if any(key.startswith(p) for p in _KEEP_FLOAT):
+        return False
+    return any(key == p or key.startswith(p) for p in _QUANT_PREFIXES)
+
 
 def quantize_params(params):
-    """float pytree -> {'q': int8 pytree, 'scale': float pytree}."""
+    """float pytree -> ({'q': int8-or-float pytree}, {'scale': pytree}).
+    Quantized leaves carry per-output-channel scales (1, N); recurrent
+    weights and biases pass through unquantized with scale None."""
 
-    def quantize_leaf(leaf):
-        leaf = np.asarray(leaf)
-        if leaf.ndim < 2:
-            # keep vectors (biases) in float — negligible size
-            return leaf, None
-        scale = np.maximum(np.abs(leaf).max(axis=0, keepdims=True),
-                           1e-8) / 127.0
-        q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
-        return q, scale.astype(np.float32)
+    def walk(node):
+        q_node, s_node = {}, {}
+        for key, value in node.items():
+            if isinstance(value, dict):
+                q_node[key], s_node[key] = walk(value)
+                continue
+            leaf = np.asarray(value)
+            if _should_quantize(key, leaf):
+                scale = np.maximum(np.abs(leaf).max(axis=0, keepdims=True),
+                                   1e-8) / 127.0
+                q_node[key] = np.clip(np.round(leaf / scale), -127,
+                                      127).astype(np.int8)
+                s_node[key] = scale.astype(np.float32)
+            else:
+                q_node[key] = leaf
+                s_node[key] = None
+        return q_node, s_node
 
-    flat, treedef = jax.tree_util.tree_flatten(params)
-    quantized, scales = zip(*(quantize_leaf(x) for x in flat))
-    return (jax.tree_util.tree_unflatten(treedef, quantized),
-            jax.tree_util.tree_unflatten(treedef, scales))
+    return walk(params)
 
 
 def dequantize_params(quantized, scales, dtype=jnp.bfloat16):
@@ -43,14 +79,76 @@ def dequantize_params(quantized, scales, dtype=jnp.bfloat16):
         is_leaf=lambda x: x is None or not isinstance(x, dict))
 
 
+def _dynamic_quant(x):
+    """Per-row (last-axis) absmax int8 quantization of activations."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                        1e-6) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_linear(x, w_q, w_scale, b=None):
+    """x float (..., K) @ int8 (K, N) -> float32 (..., N): dynamic-quant the
+    rows, int8 MXU matmul with int32 accumulation, rescale."""
+    x_q, x_scale = _dynamic_quant(x)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale.astype(jnp.float32) * w_scale
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _recurrence(xw, w_hh, reverse, compute_dtype):
+    """xw: (B, T, 4H) float32 projections -> (B, T, H) hidden outputs,
+    through the Pallas kernel on TPU or the shared lax.scan."""
+    from .rnn import lstm_recurrence
+    from ..ops.lstm_kernel import B_TILE, lstm_recurrence_pallas, \
+        use_pallas_lstm
+
+    xw_t = jnp.swapaxes(xw.astype(compute_dtype), 0, 1)
+    B = xw_t.shape[1]
+    if reverse:
+        xw_t = jnp.flip(xw_t, axis=0)
+    if use_pallas_lstm() and (B <= B_TILE or B % B_TILE == 0):
+        ys = lstm_recurrence_pallas(xw_t, w_hh.astype(compute_dtype))
+    else:
+        ys, _ = lstm_recurrence(xw_t, w_hh.astype(compute_dtype))
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def _bilstm_int8(x, q, s, compute_dtype):
+    """Bidirectional LSTM whose input projections run in int8."""
+    outs = []
+    for suffix, reverse in (("f", False), ("b", True)):
+        xw = _int8_linear(x, q[f"w_ih_{suffix}"], s[f"w_ih_{suffix}"],
+                          q[f"b_{suffix}"])
+        outs.append(_recurrence(xw, q[f"w_hh_{suffix}"], reverse,
+                                compute_dtype))
+    return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _infer_int8(quantized, scales, x, compute_dtype=jnp.bfloat16):
+    x = _bilstm_int8(x.astype(jnp.float32), quantized["encoder"],
+                     scales["encoder"], compute_dtype)
+    x = _bilstm_int8(x, quantized["decoder"], scales["decoder"],
+                     compute_dtype)
+    x = x.reshape(x.shape[0], -1)
+    for name in ("linear_1", "linear_2", "linear_3", "linear_4", "linear_5"):
+        x = jax.nn.selu(_int8_linear(x, quantized[name]["w"],
+                                     scales[name]["w"],
+                                     quantized[name]["b"]))
+    logits = _int8_linear(x, quantized["output_layer_type"]["w"],
+                          scales["output_layer_type"]["w"],
+                          quantized["output_layer_type"]["b"])
+    return jax.nn.softmax(logits, axis=1)
+
+
 def transducer_infer_quantized(quantized, scales, x,
                                compute_dtype=jnp.bfloat16):
-    """Jitted quantized inference: dequant fused into the forward."""
-    from .transducer import transducer_apply
-
-    @jax.jit
-    def run(quantized, scales, x):
-        params = dequantize_params(quantized, scales, compute_dtype)
-        return transducer_apply(params, x.astype(compute_dtype), train=False)
-
-    return run(quantized, scales, x)
+    """Jitted int8 inference: (B, T, F) float -> (B, 3) float32 probs."""
+    return _infer_int8(quantized, scales, x, compute_dtype)

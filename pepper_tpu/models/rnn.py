@@ -19,19 +19,18 @@ import jax
 import jax.numpy as jnp
 
 
-def lstm_scan(x, w_ih, w_hh, b, h0=None, c0=None, reverse=False):
-    """Unidirectional LSTM over x:(B,T,F) -> outputs (B,T,H), (hT, cT)."""
-    B = x.shape[0]
+def lstm_recurrence(xw, w_hh, h0=None, c0=None, reverse=False):
+    """LSTM recurrence over PRECOMPUTED input projections.
+    xw: (T, B, 4H) = x@w_ih + b.  Returns (ys (T, B, H), (hT, cT)).
+    Factored out so callers that produce xw differently (e.g. the int8
+    serving path in models/quantize.py) share one recurrence."""
+    B = xw.shape[1]
     H = w_hh.shape[0]
-    dtype = x.dtype
+    dtype = xw.dtype
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype)
     if c0 is None:
         c0 = jnp.zeros((B, H), dtype)
-
-    # One big input projection: (B,T,F)@(F,4H)
-    xw = jnp.einsum("btf,fg->btg", x, w_ih) + b
-    xw = jnp.swapaxes(xw, 0, 1)  # (T,B,4H) scan over leading axis
 
     def step(carry, xw_t):
         h, c = carry
@@ -46,6 +45,15 @@ def lstm_scan(x, w_ih, w_hh, b, h0=None, c0=None, reverse=False):
         return (h, c), h
 
     (hT, cT), ys = jax.lax.scan(step, (h0, c0), xw, reverse=reverse)
+    return ys, (hT, cT)
+
+
+def lstm_scan(x, w_ih, w_hh, b, h0=None, c0=None, reverse=False):
+    """Unidirectional LSTM over x:(B,T,F) -> outputs (B,T,H), (hT, cT)."""
+    # One big input projection: (B,T,F)@(F,4H)
+    xw = jnp.einsum("btf,fg->btg", x, w_ih) + b
+    xw = jnp.swapaxes(xw, 0, 1)  # (T,B,4H) scan over leading axis
+    ys, (hT, cT) = lstm_recurrence(xw, w_hh, h0, c0, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
 

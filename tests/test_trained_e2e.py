@@ -133,3 +133,23 @@ def test_train_then_call(tmp_path):
     false_calls = [p for p, (_, _, gt) in called.items()
                    if gt != "0/0" and p not in truth_positions]
     assert false_calls == []
+
+    # 4) int8 --quantized serving of the SAME trained weights must produce
+    #    the identical call set (true int8 MXU path, models/quantize.py)
+    q_options = set_parameters(PepperOptions(
+        bam=test_genome["bam"], fasta=test_genome["fasta"],
+        output_dir=str(tmp_path / "calls_q"), ont_r9_guppy5_sup=True,
+        sub_command="call_variant", region=CONTIG, threads=1,
+        batch_size=128, quantized=True))
+    call_variant(q_options, params=params)
+    with gzip.open(str(tmp_path / "calls_q" / "PEPPER_VARIANT_FULL.vcf.gz"),
+                   "rt") as f:
+        called_q = {}
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip().split("\t")
+            sample = dict(zip(fields[8].split(":"), fields[9].split(":")))
+            called_q[int(fields[1]) - 1] = (fields[3], fields[4],
+                                            sample["GT"])
+    assert called_q == called
