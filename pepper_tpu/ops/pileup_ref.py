@@ -255,15 +255,15 @@ class RegionalSummary:
                 self.max_observed_insert[:-1])
         self.total_observed_insert_bases = int(self.max_observed_insert.sum())
 
-        positions, index = [], []
-        for i in range(n):
-            positions.append(self.ref_start + i)
-            index.append(0)
-            for j in range(1, int(self.max_observed_insert[i]) + 1):
-                positions.append(self.ref_start + i)
-                index.append(j)
-        self.positions = np.asarray(positions, np.int64)
-        self.index = np.asarray(index, np.int32)
+        # vectorized equivalent of the reference's per-position loop: each
+        # position i expands to rows (i, 0..max_observed_insert[i])
+        counts = self.max_observed_insert.astype(np.int64) + 1
+        self.positions = np.repeat(
+            np.arange(self.ref_start, self.ref_start + n, dtype=np.int64),
+            counts)
+        row_starts = np.cumsum(counts) - counts
+        self.index = (np.arange(int(counts.sum()), dtype=np.int64)
+                      - np.repeat(row_starts, counts)).astype(np.int32)
 
     def _base_index(self, pos: int) -> int:
         i = pos - self.ref_start
