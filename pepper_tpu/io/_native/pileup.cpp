@@ -46,9 +46,31 @@ inline int feature_index_hp(char ref_base, char base, bool is_reverse,
 
 using AlleleKey = std::pair<int64_t, std::string>;
 
+// Fast-path code for the 2-char SNP candidates "1A".."1T" — the dominant
+// allele class (every mismatching base records one).  A/C/G/T map to a
+// flat per-position tally array instead of a std::string + std::map
+// lookup per observation; anything else (N, lowercase) falls back to the
+// map.  The flat tallies are folded into the map once before emission,
+// preserving the exact (position, candidate-string) output order.
+inline int snp_code(char base) {
+  switch (base) {
+    case 'A':
+      return 0;
+    case 'C':
+      return 1;
+    case 'G':
+      return 2;
+    case 'T':
+      return 3;
+    default:
+      return -1;
+  }
+}
+
 struct Accumulator {
   PileupResult* out;
   std::map<AlleleKey, AlleleTally>* alleles;
+  std::vector<AlleleTally>* snp_tallies;  // (n_ref x 4) flat
   int64_t ref_start, ref_end;
   const std::string* ref_seq;
   double min_snp_baseq, min_indel_baseq;
@@ -59,12 +81,10 @@ struct Accumulator {
   }
 };
 
-void record_allele(Accumulator& acc, int64_t region_index,
-                   const std::string& candidate, bool is_reverse,
-                   int hp_tag) {
-  auto& tally = (*acc.alleles)[{region_index, candidate}];
+inline void bump_tally(AlleleTally& tally, bool is_reverse, int hp_tag,
+                       int hp_mode) {
   tally.total += 1;
-  if (acc.hp_mode == 0) {
+  if (hp_mode == 0) {
     if (is_reverse)
       tally.rev += 1;
     else
@@ -82,6 +102,25 @@ void record_allele(Accumulator& acc, int64_t region_index,
       else
         tally.fwd_hp2 += 1;
     }
+  }
+}
+
+void record_allele(Accumulator& acc, int64_t region_index,
+                   const std::string& candidate, bool is_reverse,
+                   int hp_tag) {
+  bump_tally((*acc.alleles)[{region_index, candidate}], is_reverse, hp_tag,
+             acc.hp_mode);
+}
+
+inline void record_snp_allele(Accumulator& acc, int64_t region_index,
+                              char base, bool is_reverse, int hp_tag) {
+  const int code = snp_code(base);
+  if (code >= 0) {
+    bump_tally((*acc.snp_tallies)[region_index * 4 + code], is_reverse,
+               hp_tag, acc.hp_mode);
+  } else {
+    record_allele(acc, region_index, std::string("1") + base, is_reverse,
+                  hp_tag);
   }
 }
 
@@ -165,8 +204,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
                 if (fi >= 0) acc.image_add(base_index, fi, -1);
               }
               // HP mode: mismatches are NOT drawn into observation rows
-              record_allele(acc, region_index, std::string("1") + base,
-                            is_reverse, hp_tag);
+              record_snp_allele(acc, region_index, base, is_reverse, hp_tag);
             } else if (base_quality >= acc.min_snp_baseq) {
               if (!hp) {
                 const int fi = feature_index(ref_base, base, is_reverse);
@@ -317,11 +355,24 @@ PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
   result.delete_count.assign(n_ref, 0);
 
   std::map<AlleleKey, AlleleTally> alleles;
-  Accumulator acc{&result, &alleles, ref_start, ref_end, &ref_seq,
-                  min_snp_baseq, min_indel_baseq, hp_mode};
+  std::vector<AlleleTally> snp_tallies(static_cast<size_t>(n_ref) * 4);
+  Accumulator acc{&result, &alleles, &snp_tallies, ref_start, ref_end,
+                  &ref_seq, min_snp_baseq, min_indel_baseq, hp_mode};
 
   for (size_t r = 0; r < batch.n_reads(); ++r) {
     if (batch.mapq[r] > 0) populate_read(acc, batch, r);
+  }
+
+  // fold the flat SNP tallies into the ordered map (keys "1A".."1T" never
+  // reach the map directly, so these are plain inserts)
+  static const char kSnpBases[4] = {'A', 'C', 'G', 'T'};
+  for (int64_t i = 0; i < n_ref; ++i) {
+    for (int code = 0; code < 4; ++code) {
+      const AlleleTally& tally = snp_tallies[i * 4 + code];
+      if (tally.total > 0)
+        alleles.emplace(AlleleKey{i, std::string("1") + kSnpBases[code]},
+                        tally);
+    }
   }
 
   result.allele_str_offsets.push_back(0);

@@ -24,8 +24,11 @@ class NativePileup:
     snp_count: np.ndarray
     insert_count: np.ndarray
     delete_count: np.ndarray
+    # allele entries sorted by (region index, candidate string) — so each
+    # position's slice is already in candidate-string order
     allele_pos: np.ndarray     # (n_alleles,) int64 region indices, sorted
-    allele_strings: list[str]
+    allele_str_blob: bytes
+    allele_str_offsets: np.ndarray
     allele_total: np.ndarray
     allele_fwd: np.ndarray
     allele_rev: np.ndarray
@@ -33,6 +36,24 @@ class NativePileup:
     allele_rev_hp1: np.ndarray
     allele_fwd_hp2: np.ndarray
     allele_rev_hp2: np.ndarray
+
+    def allele_string(self, i: int) -> str:
+        return self.allele_str_blob[
+            self.allele_str_offsets[i]:self.allele_str_offsets[i + 1]
+        ].decode()
+
+    def allele_range(self, region_index: int) -> range:
+        """Indices of the alleles recorded at one region position.  Decoding
+        candidate strings lazily per gate-passing position (instead of all
+        of them eagerly) is the hot-path win on error-rich reads."""
+        lo = int(np.searchsorted(self.allele_pos, region_index, "left"))
+        hi = int(np.searchsorted(self.allele_pos, region_index, "right"))
+        return range(lo, hi)
+
+    @property
+    def allele_strings(self) -> list[str]:
+        return [self.allele_string(i)
+                for i in range(len(self.allele_pos))]
 
 
 def _ptr(array, ctype):
@@ -85,10 +106,6 @@ def run_native_pileup(batch: ReadBatch, ref_seq: str, ref_start: int,
                                c.POINTER(c.c_uint8))
         blob = (np.ctypeslib.as_array(strs_ptr, shape=(strs_size,))
                 .tobytes() if strs_size else b"")
-        allele_strings = [
-            blob[offsets[i]:offsets[i + 1]].decode()
-            for i in range(n_alleles)
-        ]
         return NativePileup(
             image=image,
             coverage=arr("coverage", n_ref, np.int64, c.c_int64),
@@ -96,7 +113,8 @@ def run_native_pileup(batch: ReadBatch, ref_seq: str, ref_start: int,
             insert_count=arr("insert_count", n_ref, np.int64, c.c_int64),
             delete_count=arr("delete_count", n_ref, np.int64, c.c_int64),
             allele_pos=arr("allele_pos", n_alleles, np.int64, c.c_int64),
-            allele_strings=allele_strings,
+            allele_str_blob=blob,
+            allele_str_offsets=offsets,
             allele_total=arr("allele_total", n_alleles, np.int32, c.c_int32),
             allele_fwd=arr("allele_fwd", n_alleles, np.int32, c.c_int32),
             allele_rev=arr("allele_rev", n_alleles, np.int32, c.c_int32),

@@ -243,6 +243,7 @@ class RegionalSummaryHP(RegionalSummary):
                         self.max_observed_insert[pos - self.ref_start]) + 1):
                     image[base_index + j, 0] = value
 
+        native = None
         if self.use_native:
             from .native_pileup import run_native_pileup
 
@@ -255,18 +256,6 @@ class RegionalSummaryHP(RegionalSummary):
             snp_count[:] = native.snp_count
             insert_count[:] = native.insert_count
             delete_count[:] = native.delete_count
-            for i, candidate in enumerate(native.allele_strings):
-                region_index = int(native.allele_pos[i])
-                allele_map[region_index][candidate] = \
-                    int(native.allele_total[i])
-                allele_fwd_hp1[region_index][candidate] = \
-                    int(native.allele_fwd_hp1[i])
-                allele_rev_hp1[region_index][candidate] = \
-                    int(native.allele_rev_hp1[i])
-                allele_fwd_hp2[region_index][candidate] = \
-                    int(native.allele_fwd_hp2[i])
-                allele_rev_hp2[region_index][candidate] = \
-                    int(native.allele_rev_hp2[i])
         else:
             from .pileup_ref import EventMatrix
 
@@ -320,18 +309,31 @@ class RegionalSummaryHP(RegionalSummary):
                 np.minimum(type_h1, type_h2),
                 np.maximum(type_h1, type_h2)].astype(np.uint16)
 
+        def alleles_at(region_index):
+            """(candidate, total, fwd1, rev1, fwd2, rev2) at one position,
+            candidate-string order, native strings decoded lazily."""
+            if native is not None:
+                return [(native.allele_string(i), int(native.allele_total[i]),
+                         int(native.allele_fwd_hp1[i]),
+                         int(native.allele_rev_hp1[i]),
+                         int(native.allele_fwd_hp2[i]),
+                         int(native.allele_rev_hp2[i]))
+                        for i in native.allele_range(region_index)]
+            return [(c, allele_map[region_index][c],
+                     allele_fwd_hp1[region_index][c],
+                     allele_rev_hp1[region_index][c],
+                     allele_fwd_hp2[region_index][c],
+                     allele_rev_hp2[region_index][c])
+                    for c in sorted(allele_map[region_index].keys())]
+
         windows: list[CandidateWindow] = []
         half = candidate_window_size // 2
         for pos in filtered_positions:
             region_index = pos - self.ref_start
             depth = int(min(coverage[region_index], MAX_COLOR))
             base_index = self._base_index(pos)
-            for candidate in sorted(allele_map[region_index].keys()):
-                allele_depth = allele_map[region_index][candidate]
-                fwd_hp1 = allele_fwd_hp1[region_index][candidate]
-                rev_hp1 = allele_rev_hp1[region_index][candidate]
-                fwd_hp2 = allele_fwd_hp2[region_index][candidate]
-                rev_hp2 = allele_rev_hp2[region_index][candidate]
+            for candidate, allele_depth, fwd_hp1, rev_hp1, fwd_hp2, \
+                    rev_hp2 in alleles_at(region_index):
                 frequency = allele_depth / max(1.0, float(depth))
                 type_digit = candidate[0]
                 if allele_depth < candidate_support_threshold:

@@ -497,6 +497,7 @@ class RegionalSummary:
                         self.max_observed_insert[pos - self.ref_start]) + 1):
                     image[base_index + j, 0] = value
 
+        native = None
         if self.use_native:
             from .native_pileup import run_native_pileup
 
@@ -509,14 +510,6 @@ class RegionalSummary:
             snp_count[:] = native.snp_count
             insert_count[:] = native.insert_count
             delete_count[:] = native.delete_count
-            for i, candidate in enumerate(native.allele_strings):
-                region_index = int(native.allele_pos[i])
-                allele_map[region_index][candidate] = \
-                    int(native.allele_total[i])
-                allele_fwd[region_index][candidate] = \
-                    int(native.allele_fwd[i])
-                allele_rev[region_index][candidate] = \
-                    int(native.allele_rev[i])
         else:
             accumulator = (image if self.matrix_backend is None
                            else EventMatrix())
@@ -574,6 +567,19 @@ class RegionalSummary:
                 np.minimum(type_h1, type_h2),
                 np.maximum(type_h1, type_h2)].astype(np.uint16)
 
+        def alleles_at(region_index):
+            """(candidate, total, fwd, rev) at one position, in candidate-
+            string order.  Native entries are decoded lazily — only for the
+            few gate-passing positions, not the whole error tail."""
+            if native is not None:
+                return [(native.allele_string(i), int(native.allele_total[i]),
+                         int(native.allele_fwd[i]), int(native.allele_rev[i]))
+                        for i in native.allele_range(region_index)]
+            return [(c, allele_map[region_index][c],
+                     allele_fwd[region_index][c],
+                     allele_rev[region_index][c])
+                    for c in sorted(allele_map[region_index].keys())]
+
         windows: list[CandidateWindow] = []
         half = candidate_window_size // 2
         for pos in filtered_positions:
@@ -581,10 +587,8 @@ class RegionalSummary:
             depth = int(min(coverage[region_index], MAX_COLOR))
             ref_base = self.reference_sequence[region_index]
             base_index = self._base_index(pos)
-            for candidate in sorted(allele_map[region_index].keys()):
-                allele_depth = allele_map[region_index][candidate]
-                depth_fwd = allele_fwd[region_index][candidate]
-                depth_rev = allele_rev[region_index][candidate]
+            for candidate, allele_depth, depth_fwd, depth_rev in \
+                    alleles_at(region_index):
                 frequency = allele_depth / max(1.0, float(depth))
                 type_digit = candidate[0]
                 if allele_depth < candidate_support_threshold:
