@@ -34,14 +34,16 @@ WINDOW_JUMP = 50       # TrainOptions.WINDOW_JUMP (Options.py:85)
 VOTE_SCALE = 10000     # predict_hp_distributed_cpu.py:88
 
 
-@partial(jax.jit, static_argnames=("hidden_size", "allow_kernel"))
-def hp_votes_scan(params, images, hidden_size=128, allow_kernel=True):
+@partial(jax.jit, static_argnames=("allow_kernel",))
+def hp_votes_scan(params, images, allow_kernel=True):
     """images: (B, L, F) float, L a multiple of WINDOW_JUMP.
     Returns int32 (B, L, C) accumulated ×10000 softmax votes, matching the
     reference's window loop (`for i in range(0, L, 50): if i+100 > L: break`)
-    with hidden state carried across windows."""
+    with hidden state carried across windows.  The hidden size is derived
+    from the recurrent weights, so it can never desync from the params."""
     B, L, _ = images.shape
     C = params["output"]["w"].shape[1]
+    hidden_size = params["encoder"]["w_hh_f"].shape[0]
     hidden0 = jnp.zeros((B, 2, hidden_size), images.dtype)
     starts = np.arange(0, L - TRAIN_WINDOW + 1, WINDOW_JUMP)
     if len(starts) == 0:
@@ -71,13 +73,10 @@ def hp_votes_scan(params, images, hidden_size=128, allow_kernel=True):
     return votes
 
 
-def predict_hp(params, images_hp1, images_hp2, hidden_size=128,
-               allow_kernel=True):
+def predict_hp(params, images_hp1, images_hp2, allow_kernel=True):
     """Both haplotype image stacks through the shared model (the reference
     runs one ONNX session for both, predict_hp_distributed_cpu.py:63-73).
     Returns (votes_hp1, votes_hp2) int32 (B, L, C) numpy arrays."""
-    v1 = hp_votes_scan(params, images_hp1, hidden_size=hidden_size,
-                       allow_kernel=allow_kernel)
-    v2 = hp_votes_scan(params, images_hp2, hidden_size=hidden_size,
-                       allow_kernel=allow_kernel)
+    v1 = hp_votes_scan(params, images_hp1, allow_kernel=allow_kernel)
+    v2 = hp_votes_scan(params, images_hp2, allow_kernel=allow_kernel)
     return np.asarray(v1), np.asarray(v2)

@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..decode.candidate_finder import CandidatePrediction
-from ..models.transducer import transducer_infer
 from ..options import ImageOptions
 
 
@@ -33,11 +32,13 @@ class InferenceRunner:
         self.quantized = quantized
         self.mesh = mesh
         self.model_type = model_type
+        # one dispatch path: every family (incl. lstm) infers through the
+        # registry; quantized int8 serving is the single exception
         self._family_infer = None
-        if model_type != "lstm":
-            if quantized:
-                raise ValueError("quantized serving is only supported for "
-                                 "the lstm family")
+        if quantized and model_type != "lstm":
+            raise ValueError("quantized serving is only supported for "
+                             "the lstm family")
+        if not quantized:
             from ..models.registry import make_family
 
             self._family_infer = make_family(
@@ -69,10 +70,7 @@ class InferenceRunner:
 
             return transducer_infer_quantized(self._q_params, self._q_scales,
                                               padded)
-        if self._family_infer is not None:
-            return self._family_infer(self.params, padded,
-                                      self.compute_dtype)
-        return transducer_infer(self.params, padded, self.compute_dtype)
+        return self._family_infer(self.params, padded, self.compute_dtype)
 
     def predict_images(self, images: np.ndarray) -> np.ndarray:
         """(N, window, features) -> (N, 3) float probabilities; pads the

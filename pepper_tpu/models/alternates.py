@@ -277,23 +277,44 @@ def _mha(x, lp, num_heads):
     return linear(out, lp["out_proj"])
 
 
-def _encoder_layer(x, lp, num_heads):
+def _dropout(x, rate, key):
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _encoder_layer(x, lp, num_heads, rng=None, dropout=0.1):
     """Post-LN torch TransformerEncoderLayer (norm_first=False):
-    x = LN(x + SA(x)); x = LN(x + FFN(x)).  Dropout omitted at eval."""
-    x = _layernorm(x + _mha(x, lp, num_heads), lp["norm1"])
-    ffn = linear(jax.nn.relu(linear(x, lp["ffn_1"])), lp["ffn_2"])
+    x = LN(x + drop(SA(x))); x = LN(x + drop(FFN(x))); torch's default
+    dropout=0.1 applies in train mode (rng provided), identity at eval."""
+    sa = _mha(x, lp, num_heads)
+    if rng is not None:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        sa = _dropout(sa, dropout, k1)
+    x = _layernorm(x + sa, lp["norm1"])
+    hidden = jax.nn.relu(linear(x, lp["ffn_1"]))
+    if rng is not None:
+        hidden = _dropout(hidden, dropout, k2)
+    ffn = linear(hidden, lp["ffn_2"])
+    if rng is not None:
+        ffn = _dropout(ffn, dropout, k3)
     return _layernorm(x + ffn, lp["norm2"])
 
 
 def transformer_logits(params, x, *,
                        config: TransformerConfig = TransformerConfig(),
-                       train=False):
+                       train=False, rng=None):
     """x: (B, T, F) float → (B, 3) logits.
 
     Mirrors simple_model_transformers.py:42-83 including its reshape quirk:
     the (B, C, T, F) conv output is row-major-reshaped (not transposed) to
-    (B, T, C·F) before the encoder (`:57`)."""
+    (B, T, C·F) before the encoder (`:57`).  In train mode with an rng, the
+    reference's dropouts apply (0.1 in the encoder layers; 0.1/0.1/0.2/0.1
+    in the linear pyramid, `:32-33,:67-79`)."""
     B, T, F = x.shape
+    n_layers = len(params["layers"])
+    rngs = (jax.random.split(rng, n_layers + 4)
+            if (train and rng is not None) else None)
     img = x[:, None, :, :]                       # (B,1,T,F) NCHW
     out = _conv2d(img, params["conv1"])
     out = jax.nn.relu(_batchnorm2d(out, params["bn1"], train=train))
@@ -301,12 +322,38 @@ def transformer_logits(params, x, *,
     out = _batchnorm2d(out, params["bn2"], train=train)
     out = jax.nn.relu(out + img)                 # 1-channel residual broadcast
     out = out.reshape(B, T, config.conv_channels * F)
-    for i in range(len(params["layers"])):
-        out = _encoder_layer(out, params["layers"][str(i)], config.num_heads)
+    for i in range(n_layers):
+        out = _encoder_layer(out, params["layers"][str(i)], config.num_heads,
+                             rng=None if rngs is None else rngs[i])
     out = out.reshape(B, -1)
+    pyramid_dropout = (0.1, 0.1, 0.2, 0.1)
     for i in range(1, 6):
         out = jax.nn.relu(linear(out, params[f"linear_{i}"]))
+        if rngs is not None and i <= 4:
+            out = _dropout(out, pyramid_dropout[i - 1], rngs[n_layers + i - 1])
     return linear(out, params["output_layer"])
+
+
+def transformer_calibrate_batchnorm(params, x):
+    """Fold BatchNorm running statistics from a calibration batch into the
+    params (post-training calibration): the pure-functional trainer carries
+    no BN state, so train mode normalizes with batch stats and this sets
+    the inference-time running stats from representative data.  Returns a
+    new params pytree."""
+    img = jnp.asarray(x, jnp.float32)[:, None, :, :]
+    out1 = _conv2d(img, params["conv1"])
+    bn1 = dict(params["bn1"])
+    bn1["mean"] = jnp.mean(out1, axis=(0, 2, 3))
+    bn1["var"] = jnp.var(out1, axis=(0, 2, 3))
+    out1 = jax.nn.relu(_batchnorm2d(out1, bn1))
+    out2 = _conv2d(out1, params["conv2"])
+    bn2 = dict(params["bn2"])
+    bn2["mean"] = jnp.mean(out2, axis=(0, 2, 3))
+    bn2["var"] = jnp.var(out2, axis=(0, 2, 3))
+    new_params = dict(params)
+    new_params["bn1"] = bn1
+    new_params["bn2"] = bn2
+    return new_params
 
 
 def transformer_apply(params, x, *,

@@ -104,15 +104,23 @@ def _recurrence(xw, w_hh, reverse, compute_dtype):
     """xw: (B, T, 4H) float32 projections -> (B, T, H) hidden outputs,
     through the Pallas kernel on TPU or the shared lax.scan."""
     from .rnn import lstm_recurrence
-    from ..ops.lstm_kernel import B_TILE, lstm_recurrence_pallas, \
+    from ..ops.lstm_kernel import batch_tile, lstm_recurrence_pallas, \
         use_pallas_lstm
 
     xw_t = jnp.swapaxes(xw.astype(compute_dtype), 0, 1)
     B = xw_t.shape[1]
     if reverse:
         xw_t = jnp.flip(xw_t, axis=0)
-    if use_pallas_lstm() and (B <= B_TILE or B % B_TILE == 0):
+    if use_pallas_lstm():
+        # pad the batch to a tile multiple, as bilstm_pallas does, so the
+        # kernel (not the scan) serves every batch size
+        tile = batch_tile(compute_dtype)
+        pad = (tile - B % tile) % tile if B > tile else 0
+        if pad:
+            xw_t = jnp.pad(xw_t, ((0, 0), (0, pad), (0, 0)))
         ys = lstm_recurrence_pallas(xw_t, w_hh.astype(compute_dtype))
+        if pad:
+            ys = ys[:, :B]
     else:
         ys, _ = lstm_recurrence(xw_t, w_hh.astype(compute_dtype))
     if reverse:

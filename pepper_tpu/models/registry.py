@@ -32,6 +32,9 @@ class ModelFamily:
     init: Callable
     logits: Callable
     infer: Callable
+    # optional post-training calibration (e.g. folding BatchNorm running
+    # stats from a representative batch into the params)
+    calibrate: Callable | None = None
 
 
 def _make_infer(logits_fn):
@@ -93,17 +96,19 @@ def make_family(name: str,
 
     if name == "transformer":
         from .alternates import (TransformerConfig, init_transformer_params,
+                                 transformer_calibrate_batchnorm,
                                  transformer_logits)
 
         config = TransformerConfig(image_features=image_features,
                                    window=window)
 
         def logits(params, x, train, rng):
-            return transformer_logits(params, x, config=config, train=train)
+            return transformer_logits(params, x, config=config, train=train,
+                                      rng=rng)
 
         return ModelFamily(
             name, lambda key: init_transformer_params(key, config), logits,
-            _make_infer(logits))
+            _make_infer(logits), calibrate=transformer_calibrate_batchnorm)
 
     raise ValueError(
         f"unknown model_type {name!r}; expected one of {MODEL_TYPES}")

@@ -27,6 +27,13 @@ import numpy as np
 B_TILE = 1024
 
 
+def batch_tile(dtype) -> int:
+    """Per-grid-step batch tile.  The (1, b_tile, 4H) xw block must fit
+    scoped VMEM (16MB): at H=256 that is 8MB in bf16 at 1024 rows but 16MB
+    in f32 — halve the tile for 4-byte dtypes."""
+    return B_TILE if jnp.dtype(dtype).itemsize <= 2 else B_TILE // 2
+
+
 def _lstm_kernel(xw_ref, w_hh_ref, out_ref, h_scratch, c_scratch):
     import jax.experimental.pallas as pl
 
@@ -64,8 +71,9 @@ def lstm_recurrence_pallas(xw, w_hh, interpret=False):
 
     T, B, G = xw.shape
     H = G // 4
-    n_btiles = max(1, B // B_TILE)
-    b_tile = min(B, B_TILE)
+    tile = batch_tile(xw.dtype)
+    n_btiles = max(1, B // tile)
+    b_tile = min(B, tile)
 
     return pl.pallas_call(
         _lstm_kernel,
@@ -100,11 +108,9 @@ def bilstm_pallas(x, params, interpret=False):
     """Drop-in bidirectional LSTM using the Pallas recurrence; semantics
     identical to models.rnn.bilstm."""
     B = x.shape[0]
-    pad = (-B) % min(B_TILE, max(8, B))
+    tile = batch_tile(x.dtype)
     # pad batch to tile multiple (or at least sublane alignment)
-    target = B + ((-B) % B_TILE if B > B_TILE else 0)
-    if B < B_TILE:
-        target = B
+    target = B + ((-B) % tile if B > tile else 0)
     if target != B:
         x = jnp.pad(x, ((0, target - B), (0, 0), (0, 0)))
 

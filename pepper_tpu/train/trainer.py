@@ -141,9 +141,19 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
 
     # torch Adam(weight_decay) semantics: L2 added to the gradient BEFORE
     # the Adam moments (train_distributed.py:107), not decoupled AdamW.
+    # BatchNorm running statistics (mean/var leaves) carry no gradient and
+    # must not be decayed.
+    def decay_mask(tree):
+        def walk(node):
+            return {k: (walk(v) if isinstance(v, dict)
+                        else k not in ("mean", "var"))
+                    for k, v in node.items()}
+        return walk(tree)
+
     def make_optimizer(lr):
-        return optax.chain(optax.add_decayed_weights(weight_decay),
-                           optax.adam(lr))
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
+            optax.adam(lr))
 
     optimizer = optax.inject_hyperparams(
         lambda learning_rate: make_optimizer(learning_rate))(
@@ -155,6 +165,18 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
     logits_fn = None if model_type == "lstm" else family.logits
     train_step = make_train_step(optimizer, mesh=mesh, logits_fn=logits_fn)
     eval_step = make_eval_step(mesh=mesh, logits_fn=logits_fn)
+
+    # families with BatchNorm (transformer) carry no running-stat state in
+    # the pure-functional trainer: fold calibration-batch statistics into
+    # the params before every eval/checkpoint so inference-mode
+    # normalization sees realistic stats instead of the init values
+    calib_images = test_images[:min(len(test_images), 256)].astype(
+        np.float32)
+
+    def snapshot(train_params):
+        if family is not None and family.calibrate is not None:
+            return family.calibrate(train_params, calib_images)
+        return train_params
 
     train_log = open(os.path.join(output_dir, "train_loss.csv"), "w")
     test_log = open(os.path.join(output_dir, "test_loss.csv"), "w")
@@ -184,9 +206,10 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
             train_log.write(f"{epoch},{global_step},{loss}\n")
 
             if global_step % step_size == 0:
+                eval_params = snapshot(params)
                 test_loss, confusion, accuracy = evaluate(
-                    params, test_images, test_labels, eval_step, batch_size,
-                    n_devices)
+                    eval_params, test_images, test_labels, eval_step,
+                    batch_size, n_devices)
                 test_log.write(f"{epoch},{global_step},{test_loss},"
                                f"{accuracy}\n")
                 confusion_log.write(f"step {global_step}\n{confusion}\n")
@@ -197,7 +220,7 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                      f"ACCURACY: {accuracy:.3f} LR: {new_lr:g}")
                 checkpoint_path = os.path.join(
                     output_dir, f"pepper_model_step_{global_step}.npz")
-                host_params = jax.tree_util.tree_map(np.asarray, params)
+                host_params = jax.tree_util.tree_map(np.asarray, eval_params)
                 save_params(checkpoint_path, host_params,
                             {"epochs": epoch, "step": global_step,
                              "accuracy": float(accuracy),
@@ -224,12 +247,13 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
         _log(f"EPOCH {epoch} TRAIN LOSS: {epoch_loss:.3f}")
 
     # final eval + checkpoint
-    test_loss, confusion, accuracy = evaluate(params, test_images,
+    eval_params = snapshot(params)
+    test_loss, confusion, accuracy = evaluate(eval_params, test_images,
                                               test_labels, eval_step,
                                               batch_size, n_devices)
     _log(f"FINAL ACCURACY: {accuracy:.3f}")
     confusion_log.write(f"final\n{confusion}\n")
-    host_params = jax.tree_util.tree_map(np.asarray, params)
+    host_params = jax.tree_util.tree_map(np.asarray, eval_params)
     meta = {"epochs": epochs, "accuracy": float(accuracy),
             "hidden_size": config.hidden, "gru_layers": 1,
             "model_type": model_type}

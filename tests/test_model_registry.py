@@ -45,8 +45,10 @@ def test_family_trains_and_infers(model_type, tmp_path):
 
     out_dir = str(tmp_path / f"train_{model_type}")
     options = PepperOptions(batch_size=24)
+    # the post-LN transformer diverges at 3e-3; it trains at 1e-3
+    lr, epochs = ((1e-3, 8) if model_type == "transformer" else (3e-3, 6))
     model_path, accuracy = train_model(
-        options, str(image_dir), out_dir, epochs=6, learning_rate=3e-3,
+        options, str(image_dir), out_dir, epochs=epochs, learning_rate=lr,
         step_size=10_000, batch_size=24, holdout_fraction=0.25, seed=0,
         model_type=model_type)
 
@@ -57,6 +59,12 @@ def test_family_trains_and_infers(model_type, tmp_path):
         # transformer needs warmup/longer schedules (as upstream's
         # experimental model would), so only the plumbing is asserted there
         assert accuracy > 60.0
+    if model_type == "transformer":
+        # BatchNorm running stats must be calibrated into the checkpoint
+        # (not the init zeros/ones) so inference normalization matches what
+        # the trained weights saw
+        assert np.abs(np.asarray(params["bn1"]["mean"])).sum() > 0
+        assert accuracy > 35.0    # above the 33% chance floor
 
     runner = InferenceRunner(params, batch_size=16, model_type=model_type)
     images = np.zeros((5, 33, 26), np.float32)
