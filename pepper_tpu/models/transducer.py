@@ -66,6 +66,12 @@ def transducer_logits(params, x, *, train=False, dropout_rate=0.2, rng=None):
     """Forward pass to logits. x: (B, T, F) float.  Training keeps the
     differentiable lax.scan recurrence; inference may use the Pallas
     kernel."""
+    if not train:
+        from ..ops.lstm_kernel import use_pallas_lstm
+
+        if use_pallas_lstm():
+            return _fused_logits(params, x)
+
     x = bilstm(x, params["encoder"], allow_kernel=not train)
     x = bilstm(x, params["decoder"], allow_kernel=not train)
 
@@ -84,6 +90,35 @@ def transducer_logits(params, x, *, train=False, dropout_rate=0.2, rng=None):
         if rngs is not None:
             x = _dropout(x, dropout_rate, rngs[i + 1])
     x = jax.nn.selu(linear(x, params["linear_5"]))
+    return linear(x, params["output_layer_type"])
+
+
+def _fused_logits(params, x, interpret=False):
+    """Inference-only TPU forward built on the fused Pallas biLSTM
+    (ops/lstm_kernel.py): the input projections run inside the kernels, the
+    encoder->decoder handoff passes the fwd/bwd streams as separate feature
+    parts (no concat materializes), everything stays time-major, and the
+    t-major flatten + linear_1 collapses to two einsums against views of
+    linear_1's weight.  Numerically equivalent to transducer_logits at
+    inference (validated in tests/test_lstm_kernel.py); gate math matches
+    the reference model (simple_model.py:6-88)."""
+    from ..ops.lstm_kernel import bilstm_fused
+
+    xt = jnp.transpose(x, (1, 0, 2))  # (T, B, F) time-major
+    f1, b1 = bilstm_fused((xt,), params["encoder"], interpret=interpret)
+    f2, b2 = bilstm_fused((f1, b1), params["decoder"], interpret=interpret)
+
+    T = xt.shape[0]
+    w1 = params["linear_1"]["w"]          # (T*2H, L), rows t-major [fwd|bwd]
+    H = w1.shape[0] // (2 * T)
+    w1 = w1.reshape(T, 2 * H, -1)
+    x = (jnp.einsum("tbh,thl->bl", f2, w1[:, :H])
+         + jnp.einsum("tbh,thl->bl", b2, w1[:, H:])
+         + params["linear_1"]["b"])
+
+    x = jax.nn.selu(x)
+    for name in ["linear_2", "linear_3", "linear_4", "linear_5"]:
+        x = jax.nn.selu(linear(x, params[name]))
     return linear(x, params["output_layer_type"])
 
 

@@ -93,6 +93,136 @@ def lstm_recurrence_pallas(xw, w_hh, interpret=False):
     )(xw, w_hh)
 
 
+def _make_fused_kernel(n_parts):
+    """Kernel with the input projection fused in: per grid step it reads the
+    raw feature blocks x_i (instead of a precomputed (B, 4H) gate tensor),
+    computes xw = sum_i x_i @ w_ih_i + b on the MXU, and runs the gate math.
+    Removes the full (T, B, 4H) xw HBM round-trip of the unfused path."""
+    import jax.experimental.pallas as pl
+
+    def kernel(*refs):
+        x_refs = refs[:n_parts]
+        w_ih_refs = refs[n_parts:2 * n_parts]
+        b_ref, w_hh_ref, out_ref, h_scratch, c_scratch = refs[2 * n_parts:]
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scratch[:] = jnp.zeros_like(h_scratch)
+            c_scratch[:] = jnp.zeros_like(c_scratch)
+
+        h = h_scratch[:]
+        c = c_scratch[:]
+        gates = b_ref[0].astype(jnp.float32)
+        for x_ref, w_ref in zip(x_refs, w_ih_refs):
+            gates = gates + jnp.dot(x_ref[0], w_ref[:],
+                                    preferred_element_type=jnp.float32)
+        gates = gates + jnp.dot(h.astype(w_hh_ref.dtype), w_hh_ref[:],
+                                preferred_element_type=jnp.float32)
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        h_scratch[:] = h
+        c_scratch[:] = c
+        out_ref[0] = h.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def lstm_direction_fused(x_parts, w_ih_parts, b, w_hh, reverse=False,
+                         interpret=False):
+    """One LSTM direction with the input projection fused into the kernel.
+
+    x_parts: tuple of (T, B, F_i) time-major feature arrays, logically
+    concatenated on the feature axis (layer 2 passes layer 1's fwd and bwd
+    streams here so the concat never materializes in HBM).
+    w_ih_parts: matching (F_i, 4H) slices of the input weight.
+    b: (4H,) bias.  w_hh: (H, 4H).
+    reverse=True runs the backward direction purely through index maps
+    (block t reads/writes sequence position T-1-t) — no jnp.flip copies.
+    Returns hidden outputs (T, B, H) in natural sequence order.
+    B must be a multiple of batch_tile(dtype) or smaller (caller pads).
+    """
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    T, B, _ = x_parts[0].shape
+    H = w_hh.shape[0]
+    G = 4 * H
+    dtype = x_parts[0].dtype
+    tile = batch_tile(dtype)
+    n_btiles = max(1, B // tile)
+    b_tile = min(B, tile)
+
+    if reverse:
+        seq_ix = lambda bb, t: (T - 1 - t, bb, 0)  # noqa: E731
+    else:
+        seq_ix = lambda bb, t: (t, bb, 0)  # noqa: E731
+
+    in_specs = [pl.BlockSpec((1, b_tile, xp.shape[2]), seq_ix)
+                for xp in x_parts]
+    in_specs += [pl.BlockSpec((xp.shape[2], G), lambda bb, t: (0, 0))
+                 for xp in x_parts]
+    in_specs += [
+        pl.BlockSpec((1, G), lambda bb, t: (0, 0)),
+        pl.BlockSpec((H, G), lambda bb, t: (0, 0)),
+    ]
+
+    return pl.pallas_call(
+        _make_fused_kernel(len(x_parts)),
+        grid=(n_btiles, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, b_tile, H), seq_ix),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*x_parts, *w_ih_parts, b.reshape(1, G), w_hh)
+
+
+def bilstm_fused(x_parts, params, interpret=False):
+    """Bidirectional LSTM over time-major feature parts; inference-only
+    (no VJP — same gating as bilstm_pallas applies).
+
+    x_parts: tuple of (T, B, F_i) arrays, concatenated feature-wise.
+    Returns (fwd, bwd), each (T, B, H) in natural order — callers that need
+    torch's (B, T, 2H) layout concatenate/transpose themselves; the fused
+    transducer head consumes the time-major streams directly.
+    """
+    B = x_parts[0].shape[1]
+    tile = batch_tile(x_parts[0].dtype)
+    target = B + ((-B) % tile if B > tile else 0)
+    if target != B:
+        x_parts = tuple(
+            jnp.pad(xp, ((0, 0), (0, target - B), (0, 0))) for xp in x_parts)
+
+    splits = []
+    off = 0
+    for xp in x_parts:
+        splits.append((off, off + xp.shape[2]))
+        off += xp.shape[2]
+
+    def direction(w_ih, w_hh, b, reverse):
+        w_parts = tuple(w_ih[s:e] for s, e in splits)
+        return lstm_direction_fused(x_parts, w_parts, b, w_hh,
+                                    reverse=reverse, interpret=interpret)
+
+    fwd = direction(params["w_ih_f"], params["w_hh_f"], params["b_f"], False)
+    bwd = direction(params["w_ih_b"], params["w_hh_b"], params["b_b"], True)
+    if target != B:
+        fwd = fwd[:, :B]
+        bwd = bwd[:, :B]
+    return fwd, bwd
+
+
 def use_pallas_lstm() -> bool:
     import os
 

@@ -32,6 +32,59 @@ def test_recurrence_matches_unidirectional():
                                np.asarray(expected), atol=1e-5)
 
 
+@pytest.mark.parametrize("batch,hidden,timesteps", [
+    (16, 64, 33), (8, 32, 7)])
+def test_bilstm_fused_matches_scan(batch, hidden, timesteps):
+    from pepper_tpu.ops.lstm_kernel import bilstm_fused
+
+    params = init_lstm_params(jax.random.PRNGKey(0), 26, hidden)
+    x = jnp.asarray(np.random.RandomState(1).randn(batch, timesteps, 26),
+                    jnp.float32)
+    expected = bilstm(x, params)  # (B, T, 2H), [fwd|bwd]
+    xt = jnp.transpose(x, (1, 0, 2))
+    fwd, bwd = bilstm_fused((xt,), params, interpret=True)
+    actual = jnp.concatenate(
+        [jnp.transpose(fwd, (1, 0, 2)), jnp.transpose(bwd, (1, 0, 2))],
+        axis=-1)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
+                               atol=1e-5)
+
+
+def test_bilstm_fused_multi_part_matches_concat():
+    """Passing (x_a, x_b) parts must equal running on concat([x_a, x_b])."""
+    from pepper_tpu.ops.lstm_kernel import bilstm_fused
+
+    H, T, B = 32, 11, 8
+    params = init_lstm_params(jax.random.PRNGKey(5), 24, H)
+    rng = np.random.RandomState(6)
+    xa = jnp.asarray(rng.randn(T, B, 10), jnp.float32)
+    xb = jnp.asarray(rng.randn(T, B, 14), jnp.float32)
+    whole = jnp.concatenate([xa, xb], axis=-1)
+
+    f1, b1 = bilstm_fused((whole,), params, interpret=True)
+    f2, b2 = bilstm_fused((xa, xb), params, interpret=True)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
+
+
+def test_fused_transducer_forward_matches_reference():
+    """The fully-fused inference forward (_fused_logits) equals the plain
+    scan forward on the real model shapes."""
+    from pepper_tpu.models.transducer import (
+        TransducerConfig, _fused_logits, init_transducer_params,
+        transducer_logits)
+
+    config = TransducerConfig()
+    params = init_transducer_params(jax.random.PRNGKey(7), config)
+    x = jnp.asarray(
+        np.random.RandomState(8).randn(6, config.window,
+                                       config.image_features), jnp.float32)
+    expected = transducer_logits(params, x, train=False)
+    actual = _fused_logits(params, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_gru_kernel_matches_scan():
     from pepper_tpu.models.rnn import gru_scan, init_gru_params
     from pepper_tpu.ops.gru_kernel import gru_direction_pallas
