@@ -93,6 +93,14 @@ def lstm_recurrence_pallas(xw, w_hh, interpret=False):
     )(xw, w_hh)
 
 
+def dual_batch_tile(dtype) -> int:
+    """Batch tile for the dual-direction kernel.  At H=256/bf16 the full
+    1024 tile's working set (~13MB: 4 streamed x blocks + 4 weight parts +
+    4 f32 state scratches + 2 out blocks) still fits the ~16MB VMEM; f32
+    needs the usual halving twice."""
+    return B_TILE if jnp.dtype(dtype).itemsize <= 2 else B_TILE // 4
+
+
 def _make_fused_kernel(n_parts):
     """Kernel with the input projection fused in: per grid step it reads the
     raw feature blocks x_i (instead of a precomputed (B, 4H) gate tensor),
@@ -188,7 +196,115 @@ def lstm_direction_fused(x_parts, w_ih_parts, b, w_hh, reverse=False,
     )(*x_parts, *w_ih_parts, b.reshape(1, G), w_hh)
 
 
-def bilstm_fused(x_parts, params, interpret=False):
+def _make_dual_kernel(n_parts):
+    """Both directions in one kernel body: while one direction's gate
+    nonlinearities run on the VPU, the other's recurrent matmul can occupy
+    the MXU (the two recurrences are independent), hiding the VPU time that
+    a single-direction kernel serializes behind each step's matmul."""
+    import jax.experimental.pallas as pl
+
+    def kernel(*refs):
+        xf_refs = refs[:n_parts]
+        xb_refs = refs[n_parts:2 * n_parts]
+        wf_refs = refs[2 * n_parts:3 * n_parts]
+        wb_refs = refs[3 * n_parts:4 * n_parts]
+        (bf_ref, bb_ref, whf_ref, whb_ref, outf_ref, outb_ref,
+         hf_s, cf_s, hb_s, cb_s) = refs[4 * n_parts:]
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            hf_s[:] = jnp.zeros_like(hf_s)
+            cf_s[:] = jnp.zeros_like(cf_s)
+            hb_s[:] = jnp.zeros_like(hb_s)
+            cb_s[:] = jnp.zeros_like(cb_s)
+
+        H = hf_s.shape[-1]
+
+        def gates_to_state(gates, c):
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            return o * jnp.tanh(c), c
+
+        gf = bf_ref[0].astype(jnp.float32)
+        gb = bb_ref[0].astype(jnp.float32)
+        for x_ref, w_ref in zip(xf_refs, wf_refs):
+            gf = gf + jnp.dot(x_ref[0], w_ref[:],
+                              preferred_element_type=jnp.float32)
+        for x_ref, w_ref in zip(xb_refs, wb_refs):
+            gb = gb + jnp.dot(x_ref[0], w_ref[:],
+                              preferred_element_type=jnp.float32)
+        gf = gf + jnp.dot(hf_s[:].astype(whf_ref.dtype), whf_ref[:],
+                          preferred_element_type=jnp.float32)
+        gb = gb + jnp.dot(hb_s[:].astype(whb_ref.dtype), whb_ref[:],
+                          preferred_element_type=jnp.float32)
+        hf, cf = gates_to_state(gf, cf_s[:])
+        hb, cb = gates_to_state(gb, cb_s[:])
+        hf_s[:] = hf
+        cf_s[:] = cf
+        hb_s[:] = hb
+        cb_s[:] = cb
+        outf_ref[0] = hf.astype(outf_ref.dtype)
+        outb_ref[0] = hb.astype(outb_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bilstm_dual_fused(x_parts, wf_parts, wb_parts, b_f, b_b, w_hh_f, w_hh_b,
+                      interpret=False):
+    """Fused bidirectional LSTM in a single pallas_call (see
+    _make_dual_kernel).  x_parts: tuple of (T, B, F_i) time-major arrays.
+    Returns (fwd, bwd) each (T, B, H) in natural sequence order."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    T, B, _ = x_parts[0].shape
+    H = w_hh_f.shape[0]
+    G = 4 * H
+    dtype = x_parts[0].dtype
+    tile = dual_batch_tile(dtype)
+    n_btiles = max(1, B // tile)
+    b_tile = min(B, tile)
+    n = len(x_parts)
+
+    fwd_ix = lambda bb, t: (t, bb, 0)  # noqa: E731
+    bwd_ix = lambda bb, t: (T - 1 - t, bb, 0)  # noqa: E731
+    const_ix = lambda bb, t: (0, 0)  # noqa: E731
+
+    in_specs = (
+        [pl.BlockSpec((1, b_tile, xp.shape[2]), fwd_ix) for xp in x_parts]
+        + [pl.BlockSpec((1, b_tile, xp.shape[2]), bwd_ix) for xp in x_parts]
+        + [pl.BlockSpec((xp.shape[2], G), const_ix) for xp in x_parts] * 2
+        + [pl.BlockSpec((1, G), const_ix)] * 2
+        + [pl.BlockSpec((H, G), const_ix)] * 2
+    )
+
+    outf, outb = pl.pallas_call(
+        _make_dual_kernel(n),
+        grid=(n_btiles, T),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, b_tile, H), fwd_ix),
+                   pl.BlockSpec((1, b_tile, H), bwd_ix)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((b_tile, H), jnp.float32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            # both directions' f32 gate intermediates overflow the 16MB
+            # default scoped-vmem budget at the full batch tile; v5e has
+            # headroom above it
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*x_parts, *x_parts, *wf_parts, *wb_parts,
+      b_f.reshape(1, G), b_b.reshape(1, G), w_hh_f, w_hh_b)
+    return outf, outb
+
+
+def bilstm_fused(x_parts, params, interpret=False, dual=None):
     """Bidirectional LSTM over time-major feature parts; inference-only
     (no VJP — same gating as bilstm_pallas applies).
 
@@ -196,9 +312,19 @@ def bilstm_fused(x_parts, params, interpret=False):
     Returns (fwd, bwd), each (T, B, H) in natural order — callers that need
     torch's (B, T, 2H) layout concatenate/transpose themselves; the fused
     transducer head consumes the time-major streams directly.
-    """
+
+    dual=True (opt-in via PEPPER_LSTM_DUAL=1) runs both directions in one
+    kernel; measured slightly slower than two single-direction calls on
+    v5e (943k vs 993k windows/s through the transducer), so off by
+    default."""
+    import os
+
+    if dual is None:
+        dual = os.environ.get("PEPPER_LSTM_DUAL", "0") == "1"
+
     B = x_parts[0].shape[1]
-    tile = batch_tile(x_parts[0].dtype)
+    tile = (dual_batch_tile(x_parts[0].dtype) if dual
+            else batch_tile(x_parts[0].dtype))
     target = B + ((-B) % tile if B > tile else 0)
     if target != B:
         x_parts = tuple(
@@ -210,13 +336,22 @@ def bilstm_fused(x_parts, params, interpret=False):
         splits.append((off, off + xp.shape[2]))
         off += xp.shape[2]
 
-    def direction(w_ih, w_hh, b, reverse):
-        w_parts = tuple(w_ih[s:e] for s, e in splits)
-        return lstm_direction_fused(x_parts, w_parts, b, w_hh,
-                                    reverse=reverse, interpret=interpret)
+    if dual:
+        wf = tuple(params["w_ih_f"][s:e] for s, e in splits)
+        wb = tuple(params["w_ih_b"][s:e] for s, e in splits)
+        fwd, bwd = bilstm_dual_fused(
+            x_parts, wf, wb, params["b_f"], params["b_b"],
+            params["w_hh_f"], params["w_hh_b"], interpret=interpret)
+    else:
+        def direction(w_ih, w_hh, b, reverse):
+            w_parts = tuple(w_ih[s:e] for s, e in splits)
+            return lstm_direction_fused(x_parts, w_parts, b, w_hh,
+                                        reverse=reverse, interpret=interpret)
 
-    fwd = direction(params["w_ih_f"], params["w_hh_f"], params["b_f"], False)
-    bwd = direction(params["w_ih_b"], params["w_hh_b"], params["b_b"], True)
+        fwd = direction(params["w_ih_f"], params["w_hh_f"],
+                        params["b_f"], False)
+        bwd = direction(params["w_ih_b"], params["w_hh_b"],
+                        params["b_b"], True)
     if target != B:
         fwd = fwd[:, :B]
         bwd = bwd[:, :B]

@@ -32,9 +32,10 @@ def test_recurrence_matches_unidirectional():
                                np.asarray(expected), atol=1e-5)
 
 
+@pytest.mark.parametrize("dual", [False, True])
 @pytest.mark.parametrize("batch,hidden,timesteps", [
     (16, 64, 33), (8, 32, 7)])
-def test_bilstm_fused_matches_scan(batch, hidden, timesteps):
+def test_bilstm_fused_matches_scan(batch, hidden, timesteps, dual):
     from pepper_tpu.ops.lstm_kernel import bilstm_fused
 
     params = init_lstm_params(jax.random.PRNGKey(0), 26, hidden)
@@ -42,7 +43,7 @@ def test_bilstm_fused_matches_scan(batch, hidden, timesteps):
                     jnp.float32)
     expected = bilstm(x, params)  # (B, T, 2H), [fwd|bwd]
     xt = jnp.transpose(x, (1, 0, 2))
-    fwd, bwd = bilstm_fused((xt,), params, interpret=True)
+    fwd, bwd = bilstm_fused((xt,), params, interpret=True, dual=dual)
     actual = jnp.concatenate(
         [jnp.transpose(fwd, (1, 0, 2)), jnp.transpose(bwd, (1, 0, 2))],
         axis=-1)
@@ -62,9 +63,10 @@ def test_bilstm_fused_multi_part_matches_concat():
     whole = jnp.concatenate([xa, xb], axis=-1)
 
     f1, b1 = bilstm_fused((whole,), params, interpret=True)
-    f2, b2 = bilstm_fused((xa, xb), params, interpret=True)
-    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
+    for dual in (False, True):
+        f2, b2 = bilstm_fused((xa, xb), params, interpret=True, dual=dual)
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
 
 
 def test_fused_transducer_forward_matches_reference():
