@@ -71,11 +71,40 @@ def _bigru_with_hidden(x, params, h0, allow_kernel=False):
     return out, hidden_out
 
 
+def polish_forward_fused(params, xt, hidden, interpret=False):
+    """Time-major fused-Pallas forward (inference only, no VJP).
+
+    xt: (T, B, F); hidden: (B, 2, H).  The encoder/decoder input
+    projections run inside the GRU kernels, the encoder->decoder handoff
+    passes fwd/bwd as separate feature parts (no concat materializes), and
+    the per-timestep head splits output.w into fwd/bwd halves so everything
+    stays time-major.  Returns (logits (T, B, C), hidden_final (B, 2, H))."""
+    from ..ops.gru_kernel import bigru_fused
+
+    f1, b1, hid1 = bigru_fused((xt,), params["encoder"], hidden,
+                               interpret=interpret)
+    f2, b2, hid_final = bigru_fused((f1, b1), params["decoder"], hid1,
+                                    interpret=interpret)
+    w = params["output"]["w"]                    # (2H, C)
+    H = f2.shape[-1]
+    logits = (jnp.einsum("tbh,hc->tbc", f2, w[:H])
+              + jnp.einsum("tbh,hc->tbc", b2, w[H:])
+              + params["output"]["b"])
+    return logits, hid_final
+
+
 def polish_forward(params, x, hidden, allow_kernel=False):
     """x: (B, T, F) float, hidden: (B, 2, H).
     Returns (logits (B, T, num_classes), hidden_final (B, 2, H)).
-    allow_kernel routes the recurrence to the Pallas GRU on TPU —
+    allow_kernel routes the recurrence to the fused Pallas GRU on TPU —
     inference only (no VJP); training keeps the lax.scan."""
+    if allow_kernel:
+        from ..ops.gru_kernel import use_fused_gru
+
+        if use_fused_gru():
+            xt = jnp.transpose(x, (1, 0, 2))
+            logits, hidden_final = polish_forward_fused(params, xt, hidden)
+            return jnp.transpose(logits, (1, 0, 2)), hidden_final
     x, hidden_out = _bigru_with_hidden(x, params["encoder"], hidden,
                                        allow_kernel)
     x, hidden_final = _bigru_with_hidden(x, params["decoder"], hidden_out,

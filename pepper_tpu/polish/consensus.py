@@ -43,6 +43,42 @@ def consensus_scan(params, images, num_classes=5):
          for s in starts])
     offsets = jnp.asarray(starts, jnp.int32)
 
+    from ..ops.gru_kernel import use_fused_gru
+
+    if (use_fused_gru() and TRAIN_WINDOW == 2 * WINDOW_JUMP
+            and (len(starts) + 1) * WINDOW_JUMP == SEQ_LENGTH):
+        # Fused-kernel path: time-major windows, scan emits the stacked
+        # per-window probabilities, and the overlap-add happens once at the
+        # end as two shifted half-window concatenations (window i covers
+        # [50i, 50i+100), so segment j of 50 = window j's first half +
+        # window j-1's second half) — instead of a (B, SEQ, C)-sized
+        # zero/update/add pass per window.
+        from ..models.polish_gru import polish_forward_fused
+
+        windows_tm = jnp.transpose(windows, (0, 2, 1, 3))  # (n, W, B, F)
+
+        def body_fused(hidden, window):
+            logits, hidden = polish_forward_fused(params, window, hidden)
+            return hidden, jax.nn.softmax(logits.astype(jnp.float32), axis=2)
+
+        hidden, probs = jax.lax.scan(body_fused, hidden0, windows_tm)
+        # probs: (n_windows, TRAIN_WINDOW, B, C)
+        half = WINDOW_JUMP
+        zeros_seg = jnp.zeros((1, half, B, num_classes), jnp.float32)
+        votes_seg = (jnp.concatenate([probs[:, :half], zeros_seg], axis=0)
+                     + jnp.concatenate([zeros_seg, probs[:, half:]], axis=0))
+        votes = votes_seg.reshape(SEQ_LENGTH, B, num_classes)
+        votes = jnp.transpose(votes, (1, 0, 2))
+
+        base_values = jnp.max(votes, axis=2)
+        labels = jnp.argmax(votes, axis=2).astype(jnp.int32)
+        counts = jnp.ones((B, SEQ_LENGTH - 2 * SEQ_OVERLAP), jnp.float32)
+        counts = jnp.pad(counts, ((0, 0), (SEQ_OVERLAP, SEQ_OVERLAP))) + 1.0
+        fraction = base_values / counts
+        phred = -10.0 * jnp.log10(jnp.maximum(1e-30, 1.0 - fraction))
+        phred = jnp.where(fraction >= 1.0, 100.0, phred)
+        return votes, labels, phred
+
     def body(carry, inputs):
         hidden, votes = carry
         window, offset = inputs
@@ -85,7 +121,7 @@ def dry_consensus_labels(images: np.ndarray):
     return labels.astype(np.int32), phred
 
 
-def consensus_predict(params, images: np.ndarray, batch_size: int = 128,
+def consensus_predict(params, images: np.ndarray, batch_size: int = 512,
                       compute_dtype=jnp.float32):
     """Batched host wrapper: (N, 1000, 10) uint8 images -> (labels, phred)
     numpy arrays, padding the final batch so jit compiles once."""
@@ -97,7 +133,13 @@ def consensus_predict(params, images: np.ndarray, batch_size: int = 128,
     all_phred = np.zeros((n, SEQ_LENGTH), np.float32)
     for start in range(0, n, batch_size):
         chunk = images[start:start + batch_size]
-        padded = np.zeros((batch_size, SEQ_LENGTH, images.shape[2]),
+        # pad to a power-of-two bucket (≤ batch_size) so small runs don't
+        # pay a full batch while jit still compiles at most once per bucket
+        bucket = 32
+        while bucket < len(chunk):
+            bucket *= 2
+        bucket = min(bucket, batch_size)
+        padded = np.zeros((bucket, SEQ_LENGTH, images.shape[2]),
                           np.float32)
         padded[:len(chunk)] = chunk
         _, labels, phred = consensus_scan(

@@ -109,6 +109,74 @@ def test_gru_kernel_matches_scan():
                                    np.asarray(hT_expected), atol=1e-5)
 
 
+def test_fused_gru_direction_matches_scan():
+    from pepper_tpu.models.rnn import gru_scan, init_gru_params
+    from pepper_tpu.ops.gru_kernel import gru_direction_fused
+
+    params = init_gru_params(jax.random.PRNGKey(10), 10, 32)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(8, 20, 10), jnp.float32)
+    h0 = jnp.asarray(rng.randn(8, 32), jnp.float32)
+
+    for reverse in (False, True):
+        expected, hT_expected = gru_scan(
+            x, params["w_ih_f"], params["w_hh_f"], params["b_ih_f"],
+            params["b_hh_f"], h0=h0, reverse=reverse)
+        ys, hT = gru_direction_fused(
+            (jnp.transpose(x, (1, 0, 2)),), (params["w_ih_f"],),
+            params["b_ih_f"], params["w_hh_f"], params["b_hh_f"], h0,
+            reverse=reverse, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(ys, (1, 0, 2))), np.asarray(expected),
+            atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_expected),
+                                   atol=1e-5)
+
+
+def test_fused_polish_forward_matches_scan():
+    from pepper_tpu.models.polish_gru import (init_polish_params,
+                                              polish_forward,
+                                              polish_forward_fused)
+
+    params = init_polish_params(jax.random.PRNGKey(12))
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(4, 100, 10), jnp.float32)
+    h0 = jnp.asarray(rng.randn(4, 2, 128), jnp.float32)
+    el, eh = polish_forward(params, x, h0, allow_kernel=False)
+    al, ah = polish_forward_fused(params, jnp.transpose(x, (1, 0, 2)), h0,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(al, (1, 0, 2))),
+                               np.asarray(el), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ah), np.asarray(eh), atol=2e-5)
+
+
+def test_fused_consensus_scan_matches_reference(monkeypatch):
+    """The fused consensus path (time-major scan + one-pass overlap-add)
+    must reproduce the reference vote/label/phred semantics exactly."""
+    from pepper_tpu.models.polish_gru import init_polish_params
+    from pepper_tpu.ops import gru_kernel
+    from pepper_tpu.polish import consensus
+
+    params = init_polish_params(jax.random.PRNGKey(14))
+    rng = np.random.RandomState(15)
+    imgs = jnp.asarray(rng.randint(0, 30, size=(3, 1000, 10)), jnp.float32)
+    ev, el, ep = consensus.consensus_scan(params, imgs)
+
+    monkeypatch.setenv("PEPPER_GRU_FUSED", "1")
+    orig = gru_kernel.gru_direction_fused
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(gru_kernel, "gru_direction_fused", interp)
+    # bypass the jit wrapper so the env flag is re-read at trace time
+    av, al, ap = consensus.consensus_scan.__wrapped__(params, imgs)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(ev), atol=3e-5)
+    assert (np.asarray(al) == np.asarray(el)).all()
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ep), atol=1e-3)
+
+
 def test_polish_forward_kernel_path_matches():
     import os
 
