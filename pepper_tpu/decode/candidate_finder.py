@@ -74,6 +74,43 @@ def _candidate_context(fasta, contig: str, position: int):
     return ref_base, downstream, upstream
 
 
+_CONTEXT_TILE = 1 << 20
+
+
+def _contexts_bulk(fasta, candidates):
+    """(ref_base, downstream, upstream) per candidate — identical strings to
+    per-candidate `_candidate_context` calls, but fetched as 1Mb reference
+    tiles: candidates are visited in (contig, position) order so each tile
+    is fetched once, while results land at the original indices (decode
+    output order is part of the dedup contract in `find_candidates`)."""
+    contexts = [None] * len(candidates)
+    order = sorted(range(len(candidates)),
+                   key=lambda i: (candidates[i].contig,
+                                  candidates[i].position))
+    tile_contig, tile_start, tile_stop, tile_seq = None, 0, 0, ""
+    contig_len = 0
+    for i in order:
+        candidate = candidates[i]
+        lo = max(0, candidate.position - 10)
+        hi = candidate.position + 10
+        if candidate.contig != tile_contig:
+            contig_len = fasta.get_chromosome_sequence_length(
+                candidate.contig)
+            tile_contig, tile_seq = candidate.contig, ""
+            tile_start = tile_stop = 0
+        hi = min(hi, contig_len)
+        if lo < tile_start or hi > tile_stop:
+            tile_start = lo
+            tile_stop = min(lo + _CONTEXT_TILE, contig_len)
+            tile_seq = fasta.get_reference_sequence(
+                candidate.contig, tile_start, tile_stop).upper()
+        window = tile_seq[lo - tile_start:hi - tile_start]
+        split = candidate.position - lo
+        contexts[i] = (window[split:split + 1], window[:split],
+                       window[split:])
+    return contexts
+
+
 def candidate_in_homopolymer(fasta, contig: str, position: int) -> bool:
     """In-repeat <=> homopolymer run >= 5 within the +-(5,4) neighborhood
     (CandidateFinder.py:393-416)."""
@@ -104,8 +141,11 @@ def _in_homopolymer(downstream: str, upstream: str) -> bool:
     return False
 
 
+_ACGT_SET = frozenset("ACGT")
+
+
 def _valid_allele(allele: str) -> bool:
-    return all(base in ACGT for base in allele.upper())
+    return _ACGT_SET.issuperset(allele.upper())
 
 
 def decode_predictions(options, predictions, fasta):
@@ -113,25 +153,36 @@ def decode_predictions(options, predictions, fasta):
     (re-genotyping) candidate lists (CandidateFinder.py:391-529)."""
     margin_list = []
     deepvariant_list = []
-    for candidate in predictions:
-        reference_base, downstream, upstream = _candidate_context(
-            fasta, candidate.contig, candidate.position)
+    contexts = _contexts_bulk(fasta, predictions)
+    for candidate, (reference_base, downstream, upstream) in zip(
+            predictions, contexts):
         in_repeat = _in_homopolymer(downstream, upstream)
         if reference_base not in ACGT:
             continue
 
         prediction_base = np.asarray(candidate.prediction_base, np.float64)
-        predicted_genotype = int(np.argmax(prediction_base))
+        p0, p1, p2 = prediction_base.tolist()
+        # scalar argmax over the 3-class vector (np.argmax dominates at
+        # this size); ties resolve to the lowest index like np.argmax
+        if p0 >= p1 and p0 >= p2:
+            predicted_genotype = 0
+        elif p1 >= p2:
+            predicted_genotype = 1
+        else:
+            predicted_genotype = 2
         genotype = ([0, 0], [0, 1], [1, 1])[predicted_genotype]
-        prediction_value = float(prediction_base[predicted_genotype])
+        prediction_value = (p0, p1, p2)[predicted_genotype]
+
+        # validate each allele once; both lists below share the result
+        valid_candidates = [
+            (alt_allele[0], alt_allele[1:], frequency)
+            for alt_allele, frequency in zip(candidate.candidates,
+                                             candidate.candidate_frequency)
+            if _valid_allele(alt_allele[1:])]
 
         # ---- Margin (phasing) list: SNPs only ----
         alt_alleles, supports = [], []
-        for alt_allele, frequency in zip(candidate.candidates,
-                                         candidate.candidate_frequency):
-            alt_type, allele = alt_allele[0], alt_allele[1:]
-            if not _valid_allele(allele):
-                continue
+        for alt_type, allele, frequency in valid_candidates:
             if alt_type == "1" and predicted_genotype != 0:
                 alt_alleles.append(allele)
                 supports.append(frequency)
@@ -145,12 +196,8 @@ def decode_predictions(options, predictions, fasta):
         alt_alleles, supports = [], []
         reference_allele = reference_base
         non_alt_predictions = []
-        non_alt = float(max(prediction_base[1], prediction_base[2]))
-        for alt_allele, frequency in zip(candidate.candidates,
-                                         candidate.candidate_frequency):
-            alt_type, allele = alt_allele[0], alt_allele[1:]
-            if not _valid_allele(allele):
-                continue
+        non_alt = p1 if p1 >= p2 else p2
+        for alt_type, allele, frequency in valid_candidates:
             vaf = float(frequency) / float(candidate.depth)
             non_alt_predictions.append(non_alt)
             if alt_type == "1":

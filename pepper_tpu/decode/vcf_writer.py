@@ -38,9 +38,9 @@ class _VcfFile:
         self.count = 0
 
     def write_record(self, contig: str, start: int, end: int,
-                     line: str) -> None:
+                     line: bytes) -> None:
         voff_start = self._writer.tell_virtual()
-        self._writer.write(line.encode())
+        self._writer.write(line)
         voff_end = self._writer.tell_virtual()
         self._tabix.add(contig, start, end, voff_start, voff_end)
         self.count += 1
@@ -153,12 +153,20 @@ class VCFWriter:
              depth, support, genotype_probability, predictions,
              non_alt_predictions, in_repeat) = candidate
             site_in_repeat = in_repeat or site_in_repeat
-            predicted_genotype = int(np.argmax(predictions))
+            p0, p1, p2 = (float(predictions[0]), float(predictions[1]),
+                          float(predictions[2]))
+            # scalar argmax; ties resolve to the lowest index like np.argmax
+            if p0 >= p1 and p0 >= p2:
+                predicted_genotype = 0
+            elif p1 >= p2:
+                predicted_genotype = 1
+            else:
+                predicted_genotype = 2
             if predicted_genotype != 0:
-                p = float(predictions[predicted_genotype])
+                p = (p0, p1, p2)[predicted_genotype]
                 gt_qual = p if gt_qual < 0 else min(gt_qual, p)
             elif gt_qual < 0:
-                gt_qual = float(max(predictions[1], predictions[2]))
+                gt_qual = p1 if p1 >= p2 else p2
 
             if not all_initialized:
                 site.update(contig=contig, ref_start=ref_start,
@@ -233,7 +241,7 @@ class VCFWriter:
             gt_str = "/".join(str(g) for g in genotype)
             sample = ":".join([
                 gt_str,
-                _format_float(float(gq)),
+                str(gq),  # gq == qual, an int — %g of it is just str()
                 str(depth),
                 ",".join(str(int(s)) for s in supports),
                 ",".join(_format_float(float(v)) for v in vafs),
@@ -241,11 +249,11 @@ class VCFWriter:
                          for p in non_alt_predictions),
                 rep,
             ])
-            line = "\t".join([
+            line = ("\t".join([
                 contig, str(ref_start + 1), ".", ref_seq,
                 ",".join(alleles), str(qual), filter_field, ".",
                 "GT:GQ:DP:AD:VAF:AP:REP", sample,
-            ]) + "\n"
+            ]) + "\n").encode()
 
             self.file_full.write_record(contig, ref_start, ref_end, line)
             totals["full"] += 1
