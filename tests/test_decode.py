@@ -240,3 +240,38 @@ def test_merge_variants(tmp_path, fasta):
     assert by_pos[pos_pepper_only][9].endswith(":P")
     assert by_pos[pos_overridden][9].endswith(":DV")
     assert by_pos[pos_overridden][5] == "55"
+
+
+def test_bulk_contexts_match_per_candidate_fetch(fasta):
+    """_contexts_bulk (tiled, order-preserving) must return exactly the
+    strings of per-candidate _candidate_context calls, in input order —
+    including shuffled input and contig-edge positions."""
+    from pepper_tpu.decode import candidate_finder as cf
+
+    handler, seq = fasta
+    rng = np.random.RandomState(4)
+    positions = list(rng.randint(0, len(seq), size=200))
+    positions += [0, 1, 5, len(seq) - 1, len(seq) - 5]  # edges
+    rng.shuffle(positions)
+    probs = np.array([0.2, 0.7, 0.1])
+    candidates = [CandidatePrediction("chr1", int(p), 30, ["1A"], [9], probs)
+                  for p in positions]
+    bulk = cf._contexts_bulk(handler, candidates)
+    single = [cf._candidate_context(handler, "chr1", int(p))
+              for p in positions]
+    assert bulk == single
+
+
+def test_bulk_contexts_small_tile(fasta, monkeypatch):
+    """Force tiny tiles so the tile-advance path is exercised."""
+    from pepper_tpu.decode import candidate_finder as cf
+
+    handler, seq = fasta
+    monkeypatch.setattr(cf, "_CONTEXT_TILE", 64)
+    positions = list(range(0, len(seq), 7))
+    candidates = [CandidatePrediction("chr1", p, 30, ["1A"], [9],
+                                      np.array([0.2, 0.7, 0.1]))
+                  for p in positions]
+    bulk = cf._contexts_bulk(handler, candidates)
+    single = [cf._candidate_context(handler, "chr1", p) for p in positions]
+    assert bulk == single
