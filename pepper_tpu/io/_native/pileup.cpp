@@ -2,31 +2,36 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cmath>
 
 namespace {
 
+// 256-entry tables replace per-base toupper/switch calls in the hot loop.
+struct BaseTables {
+  bool valid_ref[256];
+  int offset[256];
+  constexpr BaseTables() : valid_ref(), offset() {
+    for (int i = 0; i < 256; ++i) offset[i] = 7;
+    const char upper[] = "ACGTID";
+    const char lower[] = "acgtid";
+    const int offs[] = {1, 2, 3, 4, 5, 6};
+    for (int i = 0; i < 6; ++i) {
+      offset[static_cast<unsigned char>(upper[i])] = offs[i];
+      offset[static_cast<unsigned char>(lower[i])] = offs[i];
+    }
+    for (const char* p = "ACGTacgt"; *p; ++p)
+      valid_ref[static_cast<unsigned char>(*p)] = true;
+  }
+};
+
+constexpr BaseTables kBase;
+
 inline bool valid_ref_base(char base) {
-  base = static_cast<char>(std::toupper(base));
-  return base == 'A' || base == 'C' || base == 'G' || base == 'T';
+  return kBase.valid_ref[static_cast<unsigned char>(base)];
 }
 
 inline int base_offset(char base) {
-  switch (std::toupper(base)) {
-    case 'A':
-      return 1;
-    case 'C':
-      return 2;
-    case 'G':
-      return 3;
-    case 'T':
-      return 4;
-    case 'I':
-      return 5;
-    case 'D':
-      return 6;
-    default:
-      return 7;
-  }
+  return kBase.offset[static_cast<unsigned char>(base)];
 }
 
 // Non-HP feature column (region_summary.cpp:201-230).
@@ -157,6 +162,8 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
   int64_t read_index = 0;
   int64_t ref_position = batch.pos[r];
   const int64_t n_ops = cigar_end - cigar_start;
+  // integer threshold: for integer quals, q >= d  <=>  q >= ceil(d)
+  const int min_snp_q = static_cast<int>(std::ceil(acc.min_snp_baseq));
 
   for (int64_t ci = 0; ci < n_ops; ++ci) {
     if (ref_position > ref_end) break;
@@ -172,14 +179,19 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
           read_index += start_i;
           ref_position += start_i;
         }
-        for (int64_t i = start_i; i < length; ++i) {
-          const double base_quality = qual[read_index];
-          if (ref_position >= ref_start && ref_position <= ref_end) {
+        // clamp the loop to the region so the body needs no bounds check;
+        // cursors advance over the clamped tail afterwards
+        const int64_t lim =
+            std::min(length, start_i + std::max<int64_t>(
+                                 0, ref_end - ref_position + 1));
+        for (int64_t i = start_i; i < lim; ++i) {
+          const int base_quality = qual[read_index];
+          {
             const char base = seq[read_index];
             const char ref_base = ref[ref_position - ref_start];
             const int64_t region_index = ref_position - ref_start;
             const int64_t base_index = region_index;  // no insert expansion
-            if (base_quality >= acc.min_snp_baseq) {
+            if (base_quality >= min_snp_q) {
               acc.out->coverage[region_index] += 1;
               if (!hp) {
                 // anchor quirk: last base of a non-final M op whose next
@@ -197,7 +209,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
                   acc.image_add(base_index, is_reverse ? 37 : 26, -1);
               }
             }
-            if (ref_base != base && base_quality >= acc.min_snp_baseq) {
+            if (ref_base != base && base_quality >= min_snp_q) {
               acc.out->snp_count[region_index] += 1;
               if (!hp) {
                 const int fi = feature_index(ref_base, base, is_reverse);
@@ -205,7 +217,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
               }
               // HP mode: mismatches are NOT drawn into observation rows
               record_snp_allele(acc, region_index, base, is_reverse, hp_tag);
-            } else if (base_quality >= acc.min_snp_baseq) {
+            } else if (base_quality >= min_snp_q) {
               if (!hp) {
                 const int fi = feature_index(ref_base, base, is_reverse);
                 if (fi >= 0) acc.image_add(base_index, fi, -1);
@@ -221,6 +233,8 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
           read_index += 1;
           ref_position += 1;
         }
+        read_index += length - lim;
+        ref_position += length - lim;
         break;
       }
       case CIGAR_INS: {
@@ -238,7 +252,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
             for (int64_t i = start_index; i < start_index + alt_len; ++i)
               base_quality += qual[i];
             if (base_quality >= acc.min_indel_baseq * alt_len &&
-                qual[start_index] < acc.min_snp_baseq)
+                qual[start_index] < min_snp_q)
               acc.out->coverage[anchor - ref_start] += 1;
             const std::string candidate = "2" + alt;
             if (candidate.size() <= 61 &&
@@ -257,7 +271,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
             for (int64_t i = 0; i < ins_len; ++i)
               base_quality += qual[read_index + i];
             if (base_quality < acc.min_indel_baseq * ins_len &&
-                qual[read_index - 1] >= acc.min_snp_baseq)
+                qual[read_index - 1] >= min_snp_q)
               acc.out->coverage[anchor - ref_start] -= 1;
             const std::string candidate = "2" + alt;
             if (candidate.size() <= 61 &&

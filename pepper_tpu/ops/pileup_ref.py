@@ -489,13 +489,11 @@ class RegionalSummary:
         if self.total_observed_insert_bases == 0:
             image[:n_ref, 0] = ref_values
         else:
-            for pos in range(self.ref_start, self.ref_end + 1):
-                value = ref_values[pos - self.ref_start]
-                base_index = self._base_index(pos)
-                image[base_index, 0] = value
-                for j in range(1, int(
-                        self.max_observed_insert[pos - self.ref_start]) + 1):
-                    image[base_index + j, 0] = value
+            # expanded rows are position-major with insert slots adjacent
+            # (row(pos, j) = base_index(pos) + j), so the whole channel is
+            # one repeat of the reference values by (1 + max_insert)
+            image[:region_size, 0] = np.repeat(
+                ref_values, 1 + self.max_observed_insert[:n_ref])
 
         native = None
         if self.use_native:
@@ -624,9 +622,10 @@ class RegionalSummary:
                 window = np.zeros((candidate_window_size + 1, feature_size),
                                   np.int64)
                 lo = base_index - half
-                for i in range(lo, base_index + half + 1):
-                    if 0 <= i <= region_size:
-                        window[i - lo] = image[i]
+                src_lo = max(0, lo)
+                src_hi = min(region_size + 1, base_index + half + 1)
+                if src_hi > src_lo:
+                    window[src_lo - lo:src_hi - lo] = image[src_lo:src_hi]
 
                 mid = half
                 freq_clamped = min(allele_depth, MAX_COLOR)
