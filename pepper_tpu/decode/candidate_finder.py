@@ -245,6 +245,55 @@ def decode_predictions(options, predictions, fasta):
     return margin_list, deepvariant_list
 
 
+_decode_fasta_handles = {}
+
+
+def _decode_worker(args):
+    """Decode worker (one process): chunk of predictions -> (margin, dv)
+    lists.  Opens (and caches) its own FASTA handle — ctypes handles do not
+    cross process boundaries."""
+    options, fasta_path, chunk = args
+    if fasta_path not in _decode_fasta_handles:
+        from ..io.fasta import FastaReader
+        _decode_fasta_handles[fasta_path] = FastaReader(fasta_path)
+    return decode_predictions(options, chunk, _decode_fasta_handles[fasta_path])
+
+
+DECODE_CHUNK = 16384
+
+
+def decode_predictions_parallel(options, predictions, fasta_path,
+                                threads: int, pool=None,
+                                chunk_size: int = DECODE_CHUNK):
+    """Process-parallel `decode_predictions` (the reference fans decode out
+    over a ProcessPoolExecutor, CandidateFinder.py:537-539).  Bit-identical
+    to the sequential call: decode is a pure per-candidate function, chunks
+    are concatenated in submission order, and the stable sort inside
+    `find_candidates` sees the exact same candidate order.
+
+    Pass `pool` to reuse an existing ProcessPoolExecutor."""
+    import concurrent.futures
+
+    chunks = [predictions[i:i + chunk_size]
+              for i in range(0, len(predictions), chunk_size)]
+    if threads <= 1 or len(chunks) <= 1:
+        from ..io.fasta import FastaReader
+        return decode_predictions(options, predictions,
+                                  FastaReader(fasta_path))
+    tasks = [(options, fasta_path, chunk) for chunk in chunks]
+    margin_list, deepvariant_list = [], []
+    if pool is None:
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=threads) as own_pool:
+            results = list(own_pool.map(_decode_worker, tasks))
+    else:
+        results = list(pool.map(_decode_worker, tasks))
+    for margin, deepvariant in results:
+        margin_list.extend(margin)
+        deepvariant_list.extend(deepvariant)
+    return margin_list, deepvariant_list
+
+
 def find_candidates(margin_candidates, deepvariant_candidates):
     """Deterministic merge: global sort + positional (ref, alt) dedup
     (CandidateFinder.py:549-581)."""

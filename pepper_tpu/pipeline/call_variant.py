@@ -147,12 +147,19 @@ def _make_predict_fn(options, params):
     return runner.predict
 
 
-def _stream_predictions(options, intervals, bed_list, predict_fn):
+def _stream_predictions(options, intervals, bed_list, predict_fn,
+                        pool=None, on_predictions=None):
     """Overlap host-side window generation with accelerator inference:
     interval workers run in a process pool while the main thread feeds
     completed windows to the device in batch_size slices (the prefetch
-    overlap SURVEY.md §7.3 calls out as the throughput hard part)."""
+    overlap SURVEY.md §7.3 calls out as the throughput hard part).
+
+    on_predictions: optional sink called with each prediction batch as it
+    is produced (in stream order); when given, the returned prediction
+    list is empty.  pool: reuse an existing ProcessPoolExecutor."""
     predictions = []
+    sink = on_predictions if on_predictions is not None else \
+        predictions.extend
     total_windows = 0
     pending = []
 
@@ -161,7 +168,7 @@ def _stream_predictions(options, intervals, bed_list, predict_fn):
         while len(pending) >= options.batch_size or (final and pending):
             chunk = pending[:options.batch_size]
             pending = pending[options.batch_size:]
-            predictions.extend(predict_fn(chunk))
+            sink(predict_fn(chunk))
 
     if options.threads <= 1 or len(intervals) <= 1:
         bam_handler = BamReader(options.bam)
@@ -175,8 +182,11 @@ def _stream_predictions(options, intervals, bed_list, predict_fn):
                 pending.extend(windows)
                 drain()
     else:
-        with concurrent.futures.ProcessPoolExecutor(
-                max_workers=options.threads) as pool:
+        own_pool = None
+        if pool is None:
+            pool = own_pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=options.threads)
+        try:
             futures = [
                 pool.submit(_interval_worker,
                             (options, [interval], bed_list))
@@ -188,6 +198,9 @@ def _stream_predictions(options, intervals, bed_list, predict_fn):
                     total_windows += len(windows)
                     pending.extend(windows)
                     drain()
+        finally:
+            if own_pool is not None:
+                own_pool.shutdown()
     drain(final=True)
     return predictions, total_windows
 
@@ -213,13 +226,46 @@ def call_variant(options, params=None):
              f"{len(intervals)} TOTAL BASES: {total_bases}")
 
     predict_fn = _make_predict_fn(options, params)
-    predictions, total_windows = _stream_predictions(options, intervals,
-                                                     bed_list, predict_fn)
-    log_info(f"TOTAL CANDIDATE WINDOWS: {total_windows}")
-    log_info("FINISHED PREDICTION")
+    if options.threads > 1 and len(intervals) > 1:
+        # one pool serves both interval workers and decode chunks, so
+        # candidate decoding overlaps window generation + inference; chunk
+        # results are concatenated in submission order, which keeps the
+        # decode stream identical to the sequential path
+        from ..decode.candidate_finder import DECODE_CHUNK, _decode_worker
 
-    margin_list, deepvariant_list = decode_predictions(options, predictions,
-                                                       fasta_handler)
+        decode_futures = []
+        decode_buffer = []
+
+        def submit_decode(preds, final=False):
+            decode_buffer.extend(preds)
+            while (len(decode_buffer) >= DECODE_CHUNK
+                   or (final and decode_buffer)):
+                chunk = decode_buffer[:DECODE_CHUNK]
+                del decode_buffer[:DECODE_CHUNK]
+                decode_futures.append(pool.submit(
+                    _decode_worker, (options, options.fasta, chunk)))
+
+        margin_list, deepvariant_list = [], []
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=options.threads) as pool:
+            _, total_windows = _stream_predictions(
+                options, intervals, bed_list, predict_fn, pool=pool,
+                on_predictions=submit_decode)
+            submit_decode([], final=True)
+            log_info(f"TOTAL CANDIDATE WINDOWS: {total_windows}")
+            log_info("FINISHED PREDICTION")
+            for future in decode_futures:
+                margin, deepvariant = future.result()
+                margin_list.extend(margin)
+                deepvariant_list.extend(deepvariant)
+    else:
+        predictions, total_windows = _stream_predictions(options, intervals,
+                                                         bed_list,
+                                                         predict_fn)
+        log_info(f"TOTAL CANDIDATE WINDOWS: {total_windows}")
+        log_info("FINISHED PREDICTION")
+        margin_list, deepvariant_list = decode_predictions(
+            options, predictions, fasta_handler)
     contigs, margin_dict, dv_dict = find_candidates(margin_list,
                                                     deepvariant_list)
 

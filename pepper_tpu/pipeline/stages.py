@@ -8,7 +8,8 @@ from __future__ import annotations
 import os
 import time
 
-from ..decode.candidate_finder import decode_predictions, find_candidates
+from ..decode.candidate_finder import (decode_predictions_parallel,
+                                       find_candidates)
 from ..decode.vcf_writer import VCFWriter
 from ..infer.runner import InferenceRunner, fake_predict
 from ..io.bam import BamReader
@@ -141,8 +142,9 @@ def process_candidates(options, input_dir: str, output_dir: str):
                 all_predictions.extend(store.read_batch(name))
 
     log_info("STARTING CANDIDATE FINDING.")
-    margin_list, dv_list = decode_predictions(options, all_predictions,
-                                              fasta_handler)
+    margin_list, dv_list = decode_predictions_parallel(
+        options, all_predictions, options.fasta,
+        getattr(options, "threads", 1))
     contigs, margin_dict, dv_dict = find_candidates(margin_list, dv_list)
     writer = VCFWriter(contigs, fasta_handler, options.sample_name,
                        output_dir, "PEPPER_VARIANT_FULL",

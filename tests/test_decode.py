@@ -275,3 +275,39 @@ def test_bulk_contexts_small_tile(fasta, monkeypatch):
     bulk = cf._contexts_bulk(handler, candidates)
     single = [cf._candidate_context(handler, "chr1", p) for p in positions]
     assert bulk == single
+
+
+def _normalize(candidate_list):
+    return [tuple(np.asarray(x).tolist() if isinstance(x, np.ndarray)
+                  else x for x in cand) for cand in candidate_list]
+
+
+def test_parallel_decode_matches_sequential(fasta, tmp_path):
+    """decode_predictions_parallel is bit-identical to the sequential
+    decode: chunks concatenate in submission order, so the stream the
+    stable sort in find_candidates sees is unchanged."""
+    from pepper_tpu.decode.candidate_finder import (
+        decode_predictions_parallel)
+
+    handler, seq = fasta
+    fasta_path = str(tmp_path / "ref.fa")  # where the fixture wrote it
+    options = make_options()
+    rng = np.random.RandomState(11)
+    predictions = []
+    for i in range(300):
+        pos = int(rng.randint(5, len(seq) - 5))
+        kind = ("1", "2", "3")[i % 3]
+        allele = ("A", "AC", seq[pos:pos + 2])[i % 3]
+        probs = rng.dirichlet(np.ones(3))
+        predictions.append(prediction(
+            "chr1", pos, [f"{kind}{allele}"], [int(rng.randint(3, 30))],
+            probs, depth=40))
+        if i % 7 == 0:  # multiallelic + invalid-allele branches
+            predictions[-1].candidates.append("1N")
+            predictions[-1].candidate_frequency.append(5)
+
+    sequential = decode_predictions(options, predictions, handler)
+    parallel = decode_predictions_parallel(options, predictions, fasta_path,
+                                           threads=4, chunk_size=32)
+    assert _normalize(parallel[0]) == _normalize(sequential[0])
+    assert _normalize(parallel[1]) == _normalize(sequential[1])

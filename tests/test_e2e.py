@@ -154,3 +154,28 @@ def test_tabix_index_created(sim):
                  "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING_INDEL"):
         assert (out_dir / f"{name}.vcf.gz").exists()
         assert (out_dir / f"{name}.vcf.gz.tbi").exists()
+
+
+def test_parallel_pipeline_matches_sequential(sim, monkeypatch):
+    """threads>1 (process-pool window gen + overlapped parallel decode)
+    must emit byte-identical VCF records to the sequential path over the
+    same intervals."""
+    import pepper_tpu.decode.candidate_finder as cf
+
+    out_seq = sim["tmp"] / "out_par_seq"
+    options = make_options(sim, out_seq)
+    options.region_size = 500          # 6 intervals over the 3kb contig
+    call_variant(options)
+
+    monkeypatch.setattr(cf, "DECODE_CHUNK", 8)  # force many decode chunks
+    out_par = sim["tmp"] / "out_par"
+    options = make_options(sim, out_par)
+    options.region_size = 500
+    options.threads = 4
+    call_variant(options)
+
+    for name in ("PEPPER_VARIANT_FULL", "PEPPER_VARIANT_OUTPUT_PEPPER",
+                 "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING"):
+        seq_records = read_vcf_gz(str(out_seq / f"{name}.vcf.gz"))
+        par_records = read_vcf_gz(str(out_par / f"{name}.vcf.gz"))
+        assert par_records == seq_records
