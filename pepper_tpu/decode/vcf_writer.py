@@ -39,10 +39,11 @@ class _VcfFile:
 
     def write_record(self, contig: str, start: int, end: int,
                      line: bytes) -> None:
-        voff_start = self._writer.tell_virtual()
-        self._writer.write(line)
-        voff_end = self._writer.tell_virtual()
-        self._tabix.add(contig, start, end, voff_start, voff_end)
+        writer = self._writer
+        voff_start = writer.tell_virtual()
+        writer.write(line)
+        self._tabix.add(contig, start, end, voff_start,
+                        writer.tell_virtual())
         self.count += 1
 
     def close(self) -> None:
@@ -124,34 +125,28 @@ class VCFWriter:
                 max_ref_length = len(ref_allele)
                 max_ref_allele = ref_allele
 
-        normalized = []
-        for candidate in candidates:
-            (contig, ref_start, ref_end, ref_allele, alt_allele, genotype,
-             depth, support, genotype_probability, predictions,
-             non_alt_predictions, in_repeat) = candidate
-            suffix_needed = max(0, max_ref_length - len(ref_allele))
-            if suffix_needed > 0:
-                suffix_seq = max_ref_allele[-suffix_needed:]
-                ref_allele = ref_allele + suffix_seq
-                alt_allele = [alt + suffix_seq for alt in alt_allele]
-            normalized.append((contig, ref_start, ref_end, ref_allele,
-                               alt_allele, genotype, depth, support,
-                               genotype_probability, predictions,
-                               non_alt_predictions, in_repeat))
-
         gt_qual = -1.0
         genotype_hp1, genotype_hp2 = [], []
         all_initialized = False
-        site = dict(contig="", ref_start=0, ref_end=0, ref_allele="",
-                    depth=0)
-        site_alts, site_supports, site_qualities = [], [], []
+        site_contig, site_ref_allele = "", ""
+        site_ref_start = site_ref_end = site_depth = 0
+        site_alts, site_supports = [], []
         site_in_repeat = False
         site_non_alt_predictions = []
 
-        for i, candidate in enumerate(normalized):
+        for i, candidate in enumerate(candidates):
             (contig, ref_start, ref_end, ref_allele, alt_allele, genotype,
              depth, support, genotype_probability, predictions,
              non_alt_predictions, in_repeat) = candidate
+            # suffix normalization to the longest ref allele
+            # (VcfWriter.py:48-76); only alt[0] feeds the site record
+            suffix_needed = max_ref_length - len(ref_allele)
+            if suffix_needed > 0:
+                suffix_seq = max_ref_allele[-suffix_needed:]
+                ref_allele = ref_allele + suffix_seq
+                first_alt = alt_allele[0] + suffix_seq
+            else:
+                first_alt = alt_allele[0]
             site_in_repeat = in_repeat or site_in_repeat
             p0, p1, p2 = (float(predictions[0]), float(predictions[1]),
                           float(predictions[2]))
@@ -169,15 +164,16 @@ class VCFWriter:
                 gt_qual = p1 if p1 >= p2 else p2
 
             if not all_initialized:
-                site.update(contig=contig, ref_start=ref_start,
-                            ref_end=ref_start + len(ref_allele),
-                            ref_allele=ref_allele, depth=depth)
+                site_contig = contig
+                site_ref_start = ref_start
+                site_ref_end = ref_start + len(ref_allele)
+                site_ref_allele = ref_allele
+                site_depth = depth
                 all_initialized = True
 
-            site["depth"] = min(site["depth"], depth)
-            site_alts.append(alt_allele[0])
+            site_depth = min(site_depth, depth)
+            site_alts.append(first_alt)
             site_supports.append(support[0])
-            site_qualities.append(genotype_probability)
             site_non_alt_predictions.extend(non_alt_predictions)
 
             if predicted_genotype == 1:
@@ -193,8 +189,8 @@ class VCFWriter:
         else:
             gt = [0, 0]
 
-        return (site["contig"], site["ref_start"], site["ref_end"],
-                site["ref_allele"], site_alts, gt, site["depth"],
+        return (site_contig, site_ref_start, site_ref_end,
+                site_ref_allele, site_alts, gt, site_depth,
                 site_supports, gt_qual, site_non_alt_predictions,
                 site_in_repeat)
 
