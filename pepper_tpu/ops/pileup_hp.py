@@ -396,6 +396,6 @@ class RegionalSummaryHP(RegionalSummary):
                     contig=self.contig, position=pos, depth=depth,
                     candidates=[candidate],
                     candidate_frequency=[min(allele_depth, MAX_COLOR)],
-                    image=window.astype(np.int32),
+                    image=window.astype(np.int8),
                     base_label=base_label, type_label=type_label))
         return windows

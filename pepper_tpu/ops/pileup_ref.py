@@ -62,7 +62,7 @@ class CandidateWindow:
     depth: int
     candidates: list[str]
     candidate_frequency: list[int]
-    image: np.ndarray  # (window_size+1, feature_size) int32
+    image: np.ndarray  # (window_size+1, feature_size) int8 (clamped +-125)
     base_label: int = 0
     type_label: int = 0
 
@@ -669,6 +669,7 @@ class RegionalSummary:
                     contig=self.contig, position=pos, depth=depth,
                     candidates=[candidate],
                     candidate_frequency=[freq_clamped],
-                    image=window.astype(np.int32),
+                    image=window.astype(np.int8),  # clamped to +-125, int8
+                                                  # halves-again pool IPC
                     base_label=base_label, type_label=type_label))
         return windows
