@@ -61,6 +61,19 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
 
+    p = sub.add_parser("test_model", help="Evaluate a polish checkpoint "
+                       "on labeled images (reference test_models.py role).")
+    _add_common(p, need_model=True)
+    p.add_argument("-i", "--image_dir", required=True)
+
+    p = sub.add_parser("run_hyperband", help="Hyperband lr/l2 search over "
+                       "the polish trainer (reference run_hyperband.py).")
+    _add_common(p)
+    p.add_argument("-i", "--image_dir", required=True)
+    p.add_argument("--max_iter", type=int, default=27)
+    p.add_argument("--eta", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+
     sub.add_parser("download_models", help="Model acquisition notes.")
     return parser
 
@@ -129,6 +142,18 @@ def main(argv=None):
 
         perform_stitch(args.input_dir,
                        f"{args.output_dir.rstrip('/')}/consensus")
+    elif args.sub_command == "test_model":
+        from ..polish.train import test_polish_model
+
+        test_polish_model(options, args.image_dir, options.model_path,
+                          batch_size=options.batch_size)
+    elif args.sub_command == "run_hyperband":
+        from ..polish.train import run_polish_hyperband
+
+        run_polish_hyperband(options, args.image_dir, options.output_dir,
+                             max_iter=args.max_iter, eta=args.eta,
+                             seed=args.seed,
+                             batch_size=options.batch_size)
     elif args.sub_command == "train_model":
         from ..polish.train import train_polish_model
 

@@ -140,6 +140,83 @@ def load_polish_images(image_dir: str):
     return np.stack(images), np.stack(labels)
 
 
+def evaluate_polish_model(params, images, labels, *, batch_size: int = 16,
+                          mesh=None):
+    """Loss/confusion/accuracy of a polish checkpoint over labeled chunks —
+    the reference's pepper test_models.py / models/test.py role (weighted
+    CE with TEST_CLASS_WEIGHTS, 5-class confusion matrix, accuracy =
+    trace/sum)."""
+    if mesh is None:
+        mesh = get_mesh()
+    n_devices = len(mesh.devices.ravel())
+    params = replicate(mesh, params)
+    eval_step = make_polish_eval_step(mesh=mesh)
+    total_loss = 0.0
+    confusion = np.zeros((5, 5), np.int64)
+    for start in range(0, len(images), batch_size):
+        imgs, n = pad_to_multiple(
+            images[start:start + batch_size].astype(np.float32), n_devices)
+        lbls, _ = pad_to_multiple(
+            labels[start:start + batch_size].astype(np.int32), n_devices)
+        mask = np.zeros(len(lbls), np.float32)
+        mask[:n] = 1.0
+        loss, conf = eval_step(params, imgs, lbls, mask)
+        total_loss += float(loss)
+        confusion += np.asarray(conf)
+    accuracy = 100.0 * np.trace(confusion) / max(1, confusion.sum())
+    return {"loss": total_loss, "confusion": confusion,
+            "accuracy": float(accuracy)}
+
+
+def test_polish_model(options, image_dir: str, model_path: str, *,
+                      batch_size: int = 16):
+    """CLI entry: evaluate one checkpoint on an image directory."""
+    from ..models.checkpoint import load_params
+
+    images, labels = load_polish_images(image_dir)
+    params, _ = load_params(model_path)
+    result = evaluate_polish_model(params, images, labels,
+                                   batch_size=batch_size)
+    log_info(f"TEST LOSS: {result['loss']:.4f} "
+             f"ACCURACY: {result['accuracy']:.2f}")
+    log_info("CONFUSION MATRIX (rows=truth *ACGT, cols=pred):\n"
+             + str(result["confusion"]))
+    return result
+
+
+def run_polish_hyperband(options, image_dir: str, output_dir: str, *,
+                         max_iter: int = 27, eta: int = 3, seed: int = 0,
+                         batch_size: int = 16):
+    """Hyperband lr/l2 search over the polish TBPTT trainer — the
+    reference's pepper run_hyperband.py:20-168 role, sharing the variant
+    package's successive-halving engine (train/hyperband.py)."""
+    from ..train.hyperband import Hyperband
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def try_params(n_iterations, config):
+        run_dir = os.path.join(output_dir, f"hb_{config['_id']}")
+        checkpoint = train_polish_model(
+            options, image_dir, run_dir, epochs=int(n_iterations),
+            learning_rate=config["learning_rate"],
+            weight_decay=config["weight_decay"], batch_size=batch_size,
+            seed=seed)
+        from ..models.checkpoint import load_params
+
+        params, _ = load_params(checkpoint)
+        images, labels = load_polish_images(image_dir)
+        result = evaluate_polish_model(params, images, labels,
+                                       batch_size=batch_size)
+        return {"loss": result["loss"], "accuracy": result["accuracy"],
+                "checkpoint": checkpoint}
+
+    best = Hyperband(try_params, max_iter=max_iter, eta=eta,
+                     seed=seed).run()
+    log_info(f"HYPERBAND BEST: acc={best['accuracy']:.3f} "
+             f"config={best['config']} checkpoint={best['checkpoint']}")
+    return best
+
+
 def train_polish_model(options, image_dir: str, output_dir: str, *,
                        epochs: int = 10, learning_rate: float = 1e-4,
                        weight_decay: float = 0.0, batch_size: int = 16,

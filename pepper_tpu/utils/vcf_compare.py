@@ -100,3 +100,23 @@ def vcf_statistics(path: str) -> dict:
                     pass
     return {"counts": dict(counts), "per_contig": dict(per_contig),
             "vafs": vafs}
+
+
+def vaf_histogram(vafs, bins: int = 20, width: int = 50) -> str:
+    """Text VAF histogram — the reference's helper/vcf_plot_vaf.py role
+    (matplotlib histogram of per-record VAF values) rendered terminal-side
+    so it works in headless environments."""
+    import numpy as np
+
+    if not vafs:
+        return "(no VAF values)"
+    hist, edges = np.histogram(np.clip(np.asarray(vafs, float), 0.0, 1.0),
+                               bins=bins, range=(0.0, 1.0))
+    peak = max(1, int(hist.max()))
+    lines = []
+    for count, lo, hi in zip(hist, edges[:-1], edges[1:]):
+        bar = "#" * int(round(width * count / peak))
+        lines.append(f"{lo:5.2f}-{hi:4.2f} {count:8d} {bar}")
+    lines.append(f"total={len(vafs)} mean={np.mean(vafs):.3f} "
+                 f"median={np.median(vafs):.3f}")
+    return "\n".join(lines)

