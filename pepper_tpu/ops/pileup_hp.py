@@ -220,7 +220,6 @@ class RegionalSummaryHP(RegionalSummary):
 
         from .pileup_ref import encode_reference_values
 
-        image = np.zeros((region_size + 1, feature_size), np.int64)
         coverage = np.zeros(n_ref, np.int64)
         snp_count = np.zeros(n_ref, np.int64)
         insert_count = np.zeros(n_ref, np.int64)
@@ -231,17 +230,14 @@ class RegionalSummaryHP(RegionalSummary):
         allele_fwd_hp2 = defaultdict(dict)
         allele_rev_hp2 = defaultdict(dict)
 
+        # ref channel: rows are position-major with insert slots adjacent,
+        # so the expanded channel is one repeat by (1 + max_insert)
         ref_values = encode_reference_values(self.reference_sequence[:n_ref])
-        if self.total_observed_insert_bases == 0:
-            image[:n_ref, 0] = ref_values
+        if self.total_observed_insert_bases != 0:
+            ref_channel = np.repeat(ref_values,
+                                    1 + self.max_observed_insert[:n_ref])
         else:
-            for pos in range(self.ref_start, self.ref_end + 1):
-                value = ref_values[pos - self.ref_start]
-                base_index = self._base_index(pos)
-                image[base_index, 0] = value
-                for j in range(1, int(
-                        self.max_observed_insert[pos - self.ref_start]) + 1):
-                    image[base_index + j, 0] = value
+            ref_channel = ref_values
 
         native = None
         if self.use_native:
@@ -251,13 +247,17 @@ class RegionalSummaryHP(RegionalSummary):
                                        self.ref_start, self.ref_end,
                                        min_snp_baseq, min_indel_baseq,
                                        hp_mode=True)
-            image += native.image
+            image = native.image  # owned copy — accumulate in place
+            image[:len(ref_channel), 0] += ref_channel
             coverage[:] = native.coverage
             snp_count[:] = native.snp_count
             insert_count[:] = native.insert_count
             delete_count[:] = native.delete_count
         else:
             from .pileup_ref import EventMatrix
+
+            image = np.zeros((region_size + 1, feature_size), np.int64)
+            image[:len(ref_channel), 0] = ref_channel
 
             accumulator = (image if self.matrix_backend is None
                            else EventMatrix())
@@ -292,9 +292,12 @@ class RegionalSummaryHP(RegionalSummary):
         insert_pass[kept_regions[insert_hit[kept_regions]]] = True
         delete_pass[kept_regions[delete_hit[kept_regions]]] = True
 
-        # HP clamps EVERY feature column (region_summary_hp.cpp:763-768)
+        # HP clamps EVERY feature column (region_summary_hp.cpp:763-768),
+        # so the post-clamp image fits int8 exactly; cast once so window
+        # slices copy int8 bytes directly
         np.clip(image[:region_size], MIN_COLOR, MAX_COLOR,
                 out=image[:region_size])
+        image = image.astype(np.int8)
 
         self.labels = np.zeros(region_size + 1, np.uint16)
         self.labels_variant_type = np.zeros(region_size + 1, np.uint16)
@@ -366,11 +369,12 @@ class RegionalSummaryHP(RegionalSummary):
                     base_label = int(self.labels[base_index])
 
                 window = np.zeros((candidate_window_size + 1, feature_size),
-                                  np.int64)
+                                  np.int8)
                 lo = base_index - half
-                for i in range(lo, base_index + half + 1):
-                    if 0 <= i <= region_size:
-                        window[i - lo] = image[i]
+                src_lo = max(0, lo)
+                src_hi = min(region_size + 1, base_index + half + 1)
+                if src_hi > src_lo:
+                    window[src_lo - lo:src_hi - lo] = image[src_lo:src_hi]
 
                 mid = half
                 if type_digit == "1":
@@ -396,6 +400,6 @@ class RegionalSummaryHP(RegionalSummary):
                     contig=self.contig, position=pos, depth=depth,
                     candidates=[candidate],
                     candidate_frequency=[min(allele_depth, MAX_COLOR)],
-                    image=window.astype(np.int8),
+                    image=window,
                     base_label=base_label, type_label=type_label))
         return windows

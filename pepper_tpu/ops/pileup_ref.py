@@ -475,7 +475,6 @@ class RegionalSummary:
 
         from collections import defaultdict
 
-        image = np.zeros((region_size + 1, feature_size), np.int64)
         coverage = np.zeros(n_ref, np.int64)
         snp_count = np.zeros(n_ref, np.int64)
         insert_count = np.zeros(n_ref, np.int64)
@@ -484,16 +483,16 @@ class RegionalSummary:
         allele_fwd = defaultdict(dict)
         allele_rev = defaultdict(dict)
 
-        # reference channel 0 (region_summary.cpp:174-190)
+        # reference channel 0 (region_summary.cpp:174-190); expanded rows
+        # are position-major with insert slots adjacent (row(pos, j) =
+        # base_index(pos) + j), so the whole channel is one repeat of the
+        # reference values by (1 + max_insert)
         ref_values = encode_reference_values(self.reference_sequence[:n_ref])
-        if self.total_observed_insert_bases == 0:
-            image[:n_ref, 0] = ref_values
+        if self.total_observed_insert_bases != 0:
+            ref_channel = np.repeat(ref_values,
+                                    1 + self.max_observed_insert[:n_ref])
         else:
-            # expanded rows are position-major with insert slots adjacent
-            # (row(pos, j) = base_index(pos) + j), so the whole channel is
-            # one repeat of the reference values by (1 + max_insert)
-            image[:region_size, 0] = np.repeat(
-                ref_values, 1 + self.max_observed_insert[:n_ref])
+            ref_channel = ref_values
 
         native = None
         if self.use_native:
@@ -503,12 +502,17 @@ class RegionalSummary:
                                        self.ref_start, self.ref_end,
                                        min_snp_baseq, min_indel_baseq,
                                        hp_mode=False)
-            image += native.image
+            # native.image is an owned copy; accumulate the ref channel in
+            # place instead of zeros + full-matrix add
+            image = native.image
+            image[:len(ref_channel), 0] += ref_channel
             coverage[:] = native.coverage
             snp_count[:] = native.snp_count
             insert_count[:] = native.insert_count
             delete_count[:] = native.delete_count
         else:
+            image = np.zeros((region_size + 1, feature_size), np.int64)
+            image[:len(ref_channel), 0] = ref_channel
             accumulator = (image if self.matrix_backend is None
                            else EventMatrix())
             state = (accumulator, coverage, snp_count, insert_count,
@@ -553,6 +557,12 @@ class RegionalSummary:
         cs, ce = ImageOptions.CLAMP_COL_START, ImageOptions.CLAMP_COL_END
         np.clip(image[:region_size, cs:ce], MIN_COLOR, MAX_COLOR,
                 out=image[:region_size, cs:ce])
+        # one whole-image int8 cast so each window slice copies int8 bytes
+        # directly (bit-identical to the old per-window astype: the mod-256
+        # cast commutes elementwise with slicing, mid-row assignments are
+        # pre-clamped to +-125, and negation commutes with the cast
+        # including the -128 fixed point)
+        image = image.astype(np.int8)
 
         self.labels = np.zeros(region_size + 1, np.uint16)
         self.labels_variant_type = np.zeros(region_size + 1, np.uint16)
@@ -580,6 +590,10 @@ class RegionalSummary:
 
         windows: list[CandidateWindow] = []
         half = candidate_window_size // 2
+        # int8 scalar negation hits the -128 fixed point on deep pileups;
+        # the wrap is the intended (reference astype) semantics — silence
+        # numpy's scalar-overflow warning for the window loop
+        saved_err = np.seterr(over="ignore")
         for pos in filtered_positions:
             region_index = pos - self.ref_start
             depth = int(min(coverage[region_index], MAX_COLOR))
@@ -620,7 +634,7 @@ class RegionalSummary:
                     base_label = int(self.labels[base_index])
 
                 window = np.zeros((candidate_window_size + 1, feature_size),
-                                  np.int64)
+                                  np.int8)
                 lo = base_index - half
                 src_lo = max(0, lo)
                 src_hi = min(region_size + 1, base_index + half + 1)
@@ -669,7 +683,8 @@ class RegionalSummary:
                     contig=self.contig, position=pos, depth=depth,
                     candidates=[candidate],
                     candidate_frequency=[freq_clamped],
-                    image=window.astype(np.int8),  # clamped to +-125, int8
-                                                  # halves-again pool IPC
+                    image=window,  # int8 (clamped to +-125) halves-again
+                                   # pool IPC
                     base_label=base_label, type_label=type_label))
+        np.seterr(**saved_err)
         return windows
