@@ -126,6 +126,60 @@ int parse_hp_tag(const uint8_t* aux, const uint8_t* aux_end) {
   return 0;
 }
 
+// Find the CG:B,I aux array carrying the real CIGAR of a long-CIGAR record
+// (SAM spec §4.2.2). htslib restores these transparently, so the reference
+// gets >65,535-op CIGARs for free (bam_handler.cpp:115-150 operates on the
+// already-restored ops); we must do the restore ourselves.
+bool find_cg_cigar(const uint8_t* aux, const uint8_t* aux_end,
+                   const uint8_t** cg_data, uint32_t* cg_n) {
+  const uint8_t* s = aux;
+  while (aux_end - s >= 4) {
+    const char t1 = static_cast<char>(s[0]);
+    const char t2 = static_cast<char>(s[1]);
+    s += 2;
+    const uint8_t type = *s++;
+    switch (type) {
+      case 'A':
+      case 'c':
+      case 'C':
+        s += 1;
+        break;
+      case 's':
+      case 'S':
+        s += 2;
+        break;
+      case 'i':
+      case 'I':
+      case 'f':
+        s += 4;
+        break;
+      case 'Z':
+      case 'H':
+        while (s < aux_end && *s) ++s;
+        ++s;
+        break;
+      case 'B': {
+        if (aux_end - s < 5) return false;
+        const uint8_t subtype = *s;
+        const int esize = aux_type_size(subtype);
+        if (esize < 0) return false;
+        const uint32_t n = rd_u32(s + 1);
+        if (t1 == 'C' && t2 == 'G' && subtype == 'I') {
+          if (aux_end - (s + 5) < static_cast<int64_t>(n) * 4) return false;
+          *cg_data = s + 5;
+          *cg_n = n;
+          return true;
+        }
+        s += 5 + static_cast<int64_t>(n) * esize;
+        break;
+      }
+      default:
+        return false;  // unknown tag type: stop scanning
+    }
+  }
+  return false;
+}
+
 }  // namespace
 
 BamReader::BamReader(const std::string& path) : path_(path) {
@@ -230,6 +284,10 @@ int BamReader::target_id(const std::string& name) const {
   return -1;
 }
 
+// min_baseq is accepted but intentionally unused: the reference collects
+// "bad base" indices below this threshold into a vector that no live caller
+// ever reads (bam_handler.cpp:216-222), so applying it here would *diverge*
+// from reference behavior. Kept for signature parity.
 std::unique_ptr<ReadBatch> BamReader::get_reads(const std::string& chrom,
                                                 int64_t start, int64_t stop,
                                                 bool include_supplementary,
@@ -314,10 +372,29 @@ std::unique_ptr<ReadBatch> BamReader::get_reads(const std::string& chrom,
       const size_t aux_off = qual_off + l_seq;
       if (aux_off > rec.size()) continue;
 
+      // Effective CIGAR: inline ops, or the CG:B,I aux array when the inline
+      // CIGAR is the long-record placeholder <l_seq>S<ref_len>N.
+      const uint8_t* cig = &rec[cigar_off];
+      uint32_t n_ops = n_cigar;
+      if (n_cigar == 2) {
+        const uint32_t v0 = rd_u32(cig);
+        const uint32_t v1 = rd_u32(cig + 4);
+        if ((v0 & 0xf) == CIGAR_SOFT_CLIP && (v0 >> 4) == l_seq &&
+            (v1 & 0xf) == CIGAR_REF_SKIP) {
+          const uint8_t* cg_data = nullptr;
+          uint32_t cg_n = 0;
+          if (find_cg_cigar(&rec[aux_off], rec.data() + rec.size(), &cg_data,
+                            &cg_n) &&
+              cg_n > 0) {
+            cig = cg_data;
+            n_ops = cg_n;
+          }
+        }
+      }
+
       // overlap check: compute reference span from CIGAR
       int64_t ref_len = 0;
-      const uint8_t* cig = &rec[cigar_off];
-      for (uint16_t k = 0; k < n_cigar; ++k) {
+      for (uint32_t k = 0; k < n_ops; ++k) {
         const uint32_t v = rd_u32(cig + 4ull * k);
         const uint8_t op = v & 0xf;
         const uint32_t len = v >> 4;
@@ -345,7 +422,7 @@ std::unique_ptr<ReadBatch> BamReader::get_reads(const std::string& chrom,
       const size_t seq_base = batch->seq.size();
       const size_t cigar_base = batch->cigar_ops.size();
 
-      for (uint16_t k = 0; k < n_cigar; ++k) {
+      for (uint32_t k = 0; k < n_ops; ++k) {
         if (current_read_pos > stop) break;
         const uint32_t v = rd_u32(cig + 4ull * k);
         const uint8_t op = v & 0xf;

@@ -125,6 +125,13 @@ class BamReader:
     def get_reads(self, chrom: str, start: int, stop: int,
                   include_supplementary: bool = False, min_mapq: int = 0,
                   min_baseq: int = 0) -> ReadBatch:
+        """Fetch clipped reads overlapping [start, stop].
+
+        ``min_baseq`` is accepted for signature parity with the reference's
+        ``BAM_handler.get_reads`` but — like the reference, whose "bad base"
+        vector is never consumed (bam_handler.cpp:216-222) — it does not
+        filter anything.
+        """
         lib = self._lib
         rb = lib.pepper_bam_get_reads(
             self._handle, chrom.encode(), start, stop,

@@ -70,6 +70,10 @@ class BamRecord:
     flag: int = 0
     hp: int | None = None
     tags: dict = field(default_factory=dict)
+    # Emit the long-CIGAR form (placeholder <l_seq>S<span>N inline + real ops
+    # in a CG:B,I aux tag, SAM spec §4.2.2) even when the op count fits the
+    # 16-bit n_cigar field. Records with >65,535 ops switch automatically.
+    force_cg: bool = False
 
     def encode(self) -> bytes:
         cigar_ops = parse_cigar(self.cigar) if self.cigar else []
@@ -86,13 +90,22 @@ class BamRecord:
         aux = b""
         if self.hp is not None:
             aux += b"HP" + b"i" + struct.pack("<i", self.hp)
+        inline_ops = cigar_ops
+        if cigar_ops and (self.force_cg or len(cigar_ops) > 0xFFFF):
+            inline_ops = [(_OP_CODE["S"], l_seq),
+                          (_OP_CODE["N"], reference_span(cigar_ops))]
+            packed = ((np.asarray([ln for _, ln in cigar_ops], np.uint32)
+                       << 4)
+                      | np.asarray([op for op, _ in cigar_ops], np.uint32))
+            aux += (b"CGBI" + struct.pack("<I", len(cigar_ops))
+                    + packed.astype("<u4").tobytes())
         body = struct.pack(
             "<iiBBHHHIiii",
             self.ref_id, self.pos, len(name_bytes), self.mapq,
-            reg2bin(self.pos, self.pos + span), len(cigar_ops), self.flag,
+            reg2bin(self.pos, self.pos + span), len(inline_ops), self.flag,
             l_seq, -1, -1, 0)
         body += name_bytes
-        for op, length in cigar_ops:
+        for op, length in inline_ops:
             body += struct.pack("<I", (length << 4) | op)
         body += bytes(seq_bytes)
         body += bytes(qual)

@@ -142,3 +142,113 @@ def test_bai_high_coordinate_bins(tmp_path):
     assert sorted(batch.names) == ["hi1", "hi2"]
     # empty far-away window
     assert reader.get_reads("big", 50_000_000, 50_010_000).n_reads == 0
+
+
+def _batch_fields(batch):
+    return (batch.pos.tolist(), batch.pos_end.tolist(),
+            batch.mapq.tolist(), batch.flag.tolist(), batch.hp.tolist(),
+            batch.seq.tobytes(), batch.qual.tobytes(),
+            batch.cigar_ops.tolist(), batch.cigar_lens.tolist(),
+            batch.names)
+
+
+def test_cg_tag_placeholder_equals_inline(tmp_path):
+    """A record stored in long-CIGAR form (inline <l_seq>S<span>N placeholder
+    + CG:B,I aux) must decode to the exact ReadBatch of its inline twin —
+    htslib does this restore transparently for the reference
+    (bam_handler.cpp:115-150); our reader must match."""
+    ref = random_reference(2000, seed=11)
+    cigar = "300M5I200M3D400M2I100M"
+    seq = (ref[100:400] + "ACGTA" + ref[400:600] + ref[603:1003] + "GG"
+           + ref[1003:1103])
+    quals = list(np.random.RandomState(7).randint(10, 40, len(seq)))
+    kwargs = dict(name="lr", ref_id=0, pos=100, mapq=60, cigar=cigar,
+                  seq=seq, qual=quals, hp=2)
+
+    inline_bam = str(tmp_path / "inline.bam")
+    cg_bam = str(tmp_path / "cg.bam")
+    write_bam(inline_bam, [("c", 2000)], [BamRecord(**kwargs)])
+    write_bam(cg_bam, [("c", 2000)], [BamRecord(force_cg=True, **kwargs)])
+
+    for start, stop in [(0, 1999), (150, 700), (380, 420), (900, 1200)]:
+        a = BamReader(inline_bam).get_reads("c", start, stop)
+        b = BamReader(cg_bam).get_reads("c", start, stop)
+        assert _batch_fields(a) == _batch_fields(b), (start, stop)
+    # HP aux tag placed before the CG array must still parse
+    assert BamReader(cg_bam).get_reads("c", 0, 1999).hp[0] == 2
+
+
+def test_cg_tag_over_65535_ops(tmp_path):
+    """>65,535 CIGAR ops cannot be stored inline (16-bit n_cigar); the writer
+    auto-switches to CG form and the reader must restore the real walk."""
+    n_pairs = 40_000                      # 80,000 ops total
+    contig_len = n_pairs + 2000
+    ref = random_reference(contig_len, seed=12)
+    pos = 500
+    cigar = "1M1I" * n_pairs
+    seq = "".join(ref[pos + i] + "A" for i in range(n_pairs))
+    rec = BamRecord("huge", 0, pos, 60, cigar, seq, [30] * len(seq))
+    bam_path = str(tmp_path / "huge.bam")
+    write_bam(bam_path, [("c", contig_len)], [rec])
+
+    batch = BamReader(bam_path).get_reads("c", 0, contig_len - 1)
+    assert batch.n_reads == 1
+    assert batch.pos[0] == pos
+    assert batch.pos_end[0] == pos + n_pairs
+    assert batch.read_seq(0) == seq
+    ops = batch.read_cigar(0)
+    assert len(ops) == 2 * n_pairs
+    assert all(length == 1 for _, length in ops)
+
+    # window clipping through the CG-restored CIGAR
+    batch = BamReader(bam_path).get_reads("c", pos + 100, pos + 200)
+    assert batch.n_reads == 1
+    assert batch.pos[0] == pos + 100
+    # 1M1I per reference base; inclusive stop keeps 101 M bases but the
+    # insert after the final M lands at stop+1 and is clipped
+    assert batch.read_seq(0) == "".join(
+        ref[pos + 100 + i] + "A" for i in range(100)) + ref[pos + 200]
+
+
+def test_cg_tag_ultralong_pileup_e2e(tmp_path):
+    """Ultralong-read e2e: candidate windows from a CG-form BAM are
+    bit-identical to the inline-form BAM through the full pileup path."""
+    from pepper_tpu.ops.pileup_ref import RegionalSummary
+
+    ref = random_reference(4000, seed=13)
+    rng = np.random.RandomState(21)
+    records = []
+    for i in range(12):
+        start = int(rng.randint(0, 1000))
+        length = int(rng.randint(2000, 2900))
+        seq = list(ref[start:start + length])
+        seq[500] = "T" if seq[500] != "T" else "C"   # a shared SNP column
+        records.append(dict(
+            name=f"r{i}", ref_id=0, pos=start, mapq=60, cigar=f"{length}M",
+            seq="".join(seq), qual=list(rng.randint(15, 40, length))))
+    records.sort(key=lambda r: r["pos"])
+
+    paths = {}
+    for mode, force in [("inline", False), ("cg", True)]:
+        p = str(tmp_path / f"{mode}.bam")
+        write_bam(p, [("c", 4000)],
+                  [BamRecord(force_cg=force, **r) for r in records])
+        paths[mode] = p
+
+    windows = {}
+    for mode, p in paths.items():
+        batch = BamReader(p).get_reads("c", 0, 3999)
+        rs = RegionalSummary("c", 0, 3999, ref)
+        rs.generate_max_insert_summary(batch)
+        windows[mode] = rs.generate_summary(
+            batch, min_snp_baseq=1, min_indel_baseq=1,
+            snp_freq_threshold=0.1, insert_freq_threshold=0.15,
+            delete_freq_threshold=0.15, min_coverage_threshold=1,
+            snp_candidate_freq_threshold=0.1,
+            indel_candidate_freq_threshold=0.1,
+            candidate_support_threshold=1, skip_indels=False,
+            candidate_region_start=0, candidate_region_end=3999)
+    assert len(windows["inline"]) == len(windows["cg"]) > 0
+    for a, b in zip(windows["inline"], windows["cg"]):
+        assert a.position == b.position
+        assert np.array_equal(a.image, b.image)
