@@ -183,8 +183,12 @@ def build_parser():
 
     p = sub.add_parser("backend_stat", help="Print JAX backend/device info "
                        "(the reference's torch_stat).")
-    p = sub.add_parser("download_models", help="Model acquisition notes "
-                       "(offline environments).")
+    p = sub.add_parser("download_models", help="Download published PEPPER "
+                       "model checkpoints (download_model.py:10-27).")
+    p.add_argument("-o", "--output_dir", default="pepper_models")
+    p.add_argument("--description_url", default=None,
+                   help="Override the model-description CSV URL "
+                        "(file:// URLs accepted for offline mirrors).")
     p = sub.add_parser("version")
     return parser
 
@@ -253,13 +257,18 @@ def main(argv=None):
         print(f"local device count: {jax.local_device_count()}")
         return 0
     if args.sub_command == "download_models":
-        print("pepper_tpu uses native .npz checkpoints (train with "
-              "`pepper_tpu train_model`) and can convert reference PEPPER "
-              "torch .pkl checkpoints directly: pass them to -m/--model_path "
-              "and they are converted on load "
-              "(pepper_tpu.models.torch_convert). Reference models are "
-              "published at https://storage.googleapis.com/pepper-models/ — "
-              "download them on a machine with network access.")
+        from ..utils.download_model import (DEFAULT_DESCRIPTION_URL,
+                                            download_models)
+
+        url = args.description_url or DEFAULT_DESCRIPTION_URL
+        try:
+            paths = download_models(args.output_dir, url)
+        except OSError:
+            return 1
+        print(f"downloaded/verified {len(paths)} model(s) in "
+              f"{args.output_dir} — pass a .pkl to -m/--model_path "
+              "(converted on load) or train natively with "
+              "`pepper_tpu train_model`.")
         return 0
 
     if args.sub_command == "merge_variants":

@@ -74,7 +74,10 @@ def build_parser():
     p.add_argument("--eta", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
 
-    sub.add_parser("download_models", help="Model acquisition notes.")
+    p = sub.add_parser("download_models", help="Download published PEPPER "
+                       "model checkpoints (download_model.py:10-27).")
+    p.add_argument("-o", "--output_dir", default="pepper_models")
+    p.add_argument("--description_url", default=None)
     return parser
 
 
@@ -113,11 +116,16 @@ def main(argv=None):
     options.sub_command = args.sub_command
 
     if args.sub_command == "download_models":
-        print("pepper_tpu_polish uses native .npz checkpoints (train with "
-              "`pepper_tpu_polish train_model`) and converts reference "
-              "PEPPER polish torch .pkl checkpoints on load. Reference "
-              "models: https://storage.googleapis.com/pepper-models/ "
-              "(download on a machine with network access).")
+        from ..utils.download_model import (DEFAULT_DESCRIPTION_URL,
+                                            download_models)
+
+        url = args.description_url or DEFAULT_DESCRIPTION_URL
+        try:
+            paths = download_models(args.output_dir, url)
+        except OSError:
+            return 1
+        print(f"downloaded/verified {len(paths)} model(s) in "
+              f"{args.output_dir}")
         return 0
     if args.sub_command == "polish":
         from ..polish.pipeline import polish
