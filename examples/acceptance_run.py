@@ -1,15 +1,17 @@
 """Chr-scale acceptance run on simulated data: train on one genome, call a
 2 Mb unseen genome with the trained model, score recall/precision/genotype
-concordance and wall-clock per stage.
+concordance PER VARIANT TYPE (SNP/INS/DEL — the reference's published
+contract is per-type F1 tables, docs/pipeline_docker/ONT_variant_calling.md)
+and wall-clock per stage. Truth includes insertions and deletions of length
+1-10 with homopolymer-adjacent sites, 3% uniform per-base sequencing errors
+and a systematic-noise read population.
 
   python examples/acceptance_run.py [genome_mb] [threads]
 """
 
-import gzip
 import os
 import sys
 import tempfile
-import time
 
 _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, _ROOT)
@@ -19,42 +21,16 @@ from pepper_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+from simulate import build_mixed_genome, score_vcf_by_type  # noqa: E402
 
-def build_genome(base, name, length, n_snps, n_noise, seed):
-    import numpy as np
 
-    from simulate import random_reference, simulate_reads, write_truth_vcf
-    from pepper_tpu.io.bam_writer import write_bam, write_fasta
-
-    rng = np.random.RandomState(seed)
-    ref = random_reference(length, seed=seed)
-    alt = {"A": "T", "T": "A", "C": "G", "G": "C"}
-    spots = np.arange(500, length - 500, 40)
-    chosen = rng.choice(spots, size=n_snps + n_noise, replace=False)
-    variant_positions = sorted(int(p) for p in chosen[:n_snps])
-    noise_positions = sorted(int(p) for p in chosen[n_snps:])
-    variants = [(p, ref[p], alt[ref[p]], "1|1" if i % 3 == 0 else "1|0")
-                for i, p in enumerate(variant_positions)]
-    hap1 = [(p, r, a) for p, r, a, _ in variants]
-    hap2 = [(p, r, a) for p, r, a, g in variants if g == "1|1"]
-    noise_hap = [(p, ref[p], alt[ref[p]]) for p in noise_positions]
-    records = simulate_reads(ref, [hap1, hap2, noise_hap], read_len=2000,
-                             strides=[160, 160, 550],
-                             name_prefix=name, error_rate=0.03,
-                             error_seed=seed)
-    directory = os.path.join(base, name)
-    os.makedirs(directory, exist_ok=True)
-    bam = os.path.join(directory, "reads.bam")
-    fasta = os.path.join(directory, "ref.fa")
-    truth = os.path.join(directory, "truth.vcf")
-    bed = os.path.join(directory, "conf.bed")
-    write_bam(bam, [("chrA", length)], records)
-    write_fasta(fasta, {"chrA": ref})
-    write_truth_vcf(truth, "chrA", length, variants)
-    with open(bed, "w") as f:
-        f.write(f"chrA\t0\t{length}\n")
-    return dict(bam=bam, fasta=fasta, truth=truth, bed=bed,
-                variants=variants, ref=ref)
+def print_score_table(stats, log_line):
+    log_line("TYPE    N      RECALL   PRECISION  GT-CONCORDANCE  (TP/FP/FN)")
+    for kind in ("SNP", "INS", "DEL", "ALL"):
+        s = stats[kind]
+        log_line(f"{kind:<6} {s['n']:<6} {s['recall']:.4f}   "
+                 f"{s['precision']:.4f}     {s['gt_concordance']:.4f}"
+                 f"          ({s['tp']}/{s['fp']}/{s['fn']})")
 
 
 def main():
@@ -71,13 +47,14 @@ def main():
     from pepper_tpu.utils.profiling import StageTimer, log_line
 
     base = tempfile.mkdtemp(prefix="pepper_acceptance_")
-    with StageTimer("SIMULATE TRAIN GENOME (0.5 Mb)"):
-        train_genome = build_genome(base, "train", 500_000, 1500, 2500, 11)
-    with StageTimer("SIMULATE TEST GENOME"):
-        test_genome = build_genome(base, "test",
-                                   int(genome_mb * 1_000_000),
-                                   int(genome_mb * 700),
-                                   int(genome_mb * 1000), 22)
+    with StageTimer("SIMULATE TRAIN GENOME (0.5 Mb, SNP+INS+DEL)"):
+        train_genome = build_mixed_genome(base, "train", 500_000, 1500,
+                                          2500, 11)
+    with StageTimer("SIMULATE TEST GENOME (SNP+INS+DEL)"):
+        test_genome = build_mixed_genome(base, "test",
+                                         int(genome_mb * 1_000_000),
+                                         int(genome_mb * 700),
+                                         int(genome_mb * 1000), 22)
 
     train_options = set_parameters(PepperOptions(
         bam=train_genome["bam"], fasta=train_genome["fasta"],
@@ -107,32 +84,10 @@ def main():
     with StageTimer("CALL_VARIANT (full pipeline)"):
         call_variant(call_options, params=params)
 
-    called = {}
-    with gzip.open(os.path.join(base, "calls",
-                                "PEPPER_VARIANT_FULL.vcf.gz"), "rt") as f:
-        for line in f:
-            if line.startswith("#"):
-                continue
-            fields = line.rstrip().split("\t")
-            sample = dict(zip(fields[8].split(":"), fields[9].split(":")))
-            called[int(fields[1]) - 1] = (fields[3], fields[4], sample["GT"])
-
-    truth_positions = {p for p, _, _, _ in test_genome["variants"]}
-    tp = gt_ok = 0
-    for pos, ref_a, alt_a, genotype in test_genome["variants"]:
-        if pos in called and called[pos][1] == alt_a \
-                and called[pos][2] != "0/0":
-            tp += 1
-            expected = "1/1" if genotype == "1|1" else "0/1"
-            gt_ok += called[pos][2] == expected
-    fp = sum(1 for p, (_, _, gt) in called.items()
-             if gt != "0/0" and p not in truth_positions)
-    n_true = len(test_genome["variants"])
-    recall = tp / n_true
-    precision = tp / max(1, tp + fp)
-    log_line(f"RECALL: {recall:.4f} ({tp}/{n_true})  "
-             f"PRECISION: {precision:.4f} (FP={fp})  "
-             f"GT CONCORDANCE: {gt_ok / max(1, tp):.4f}")
+    stats = score_vcf_by_type(
+        os.path.join(base, "calls", "PEPPER_VARIANT_FULL.vcf.gz"),
+        test_genome["variants"])
+    print_score_table(stats, log_line)
     log_line(f"OUTPUT: {base}")
 
 

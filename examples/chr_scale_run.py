@@ -1,10 +1,10 @@
 """Chromosome-scale soak: train once, then call a chr20-class simulated
-genome through the real CLI path and score it.
+genome (SNP+INS+DEL truth incl. homopolymer-adjacent indels) through the
+real pipeline and score per variant type.
 
   python examples/chr_scale_run.py [genome_mb] [threads]
 """
 
-import gzip
 import os
 import sys
 import tempfile
@@ -17,7 +17,8 @@ from pepper_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
-from acceptance_run import build_genome  # noqa: E402
+from simulate import build_mixed_genome, score_vcf_by_type  # noqa: E402
+from acceptance_run import print_score_table  # noqa: E402
 
 
 def main():
@@ -34,13 +35,14 @@ def main():
     from pepper_tpu.utils.profiling import StageTimer, log_line
 
     base = tempfile.mkdtemp(prefix="pepper_chr_")
-    with StageTimer("SIMULATE TRAIN GENOME"):
-        train_genome = build_genome(base, "train", 500_000, 1500, 2500, 31)
-    with StageTimer(f"SIMULATE {genome_mb} Mb TEST GENOME"):
-        test_genome = build_genome(base, "test",
-                                   int(genome_mb * 1_000_000),
-                                   int(genome_mb * 700),
-                                   int(genome_mb * 1000), 32)
+    with StageTimer("SIMULATE TRAIN GENOME (SNP+INS+DEL)"):
+        train_genome = build_mixed_genome(base, "train", 500_000, 1500,
+                                          2500, 31)
+    with StageTimer(f"SIMULATE {genome_mb} Mb TEST GENOME (SNP+INS+DEL)"):
+        test_genome = build_mixed_genome(base, "test",
+                                         int(genome_mb * 1_000_000),
+                                         int(genome_mb * 700),
+                                         int(genome_mb * 1000), 32)
 
     train_options = set_parameters(PepperOptions(
         bam=train_genome["bam"], fasta=train_genome["fasta"],
@@ -69,30 +71,10 @@ def main():
     with StageTimer("CALL_VARIANT (chr-scale)"):
         call_variant(call_options, params=params)
 
-    called = {}
-    with gzip.open(os.path.join(base, "calls",
-                                "PEPPER_VARIANT_FULL.vcf.gz"), "rt") as f:
-        for line in f:
-            if line.startswith("#"):
-                continue
-            fields = line.rstrip().split("\t")
-            sample = dict(zip(fields[8].split(":"), fields[9].split(":")))
-            called[int(fields[1]) - 1] = (fields[3], fields[4], sample["GT"])
-
-    truth_positions = {p for p, _, _, _ in test_genome["variants"]}
-    tp = gt_ok = 0
-    for pos, ref_a, alt_a, genotype in test_genome["variants"]:
-        if pos in called and called[pos][1] == alt_a \
-                and called[pos][2] != "0/0":
-            tp += 1
-            expected = "1/1" if genotype == "1|1" else "0/1"
-            gt_ok += called[pos][2] == expected
-    fp = sum(1 for p, (_, _, gt) in called.items()
-             if gt != "0/0" and p not in truth_positions)
-    n_true = len(test_genome["variants"])
-    log_line(f"RECALL: {tp / n_true:.4f} ({tp}/{n_true})  "
-             f"PRECISION: {tp / max(1, tp + fp):.4f} (FP={fp})  "
-             f"GT CONCORDANCE: {gt_ok / max(1, tp):.4f}")
+    stats = score_vcf_by_type(
+        os.path.join(base, "calls", "PEPPER_VARIANT_FULL.vcf.gz"),
+        test_genome["variants"])
+    print_score_table(stats, log_line)
     log_line(f"OUTPUT: {base}")
 
 

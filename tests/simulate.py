@@ -148,3 +148,200 @@ def write_truth_vcf(path: str, contig: str, contig_len: int, variants):
                      f"\t60\tPASS\t.\tGT\t{gt}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Mixed-type genomes (SNP + INS + DEL incl. homopolymer-adjacent sites) for
+# the trained-model acceptance harnesses. The reference's published contract
+# is per-type F1 tables (docs/pipeline_docker/ONT_variant_calling.md:149-154);
+# these builders are the synthetic stand-in.
+# ---------------------------------------------------------------------------
+
+def reference_with_homopolymers(length, seed, run_every=1500,
+                                run_lens=(5, 10)):
+    """Random reference with planted homopolymer runs (the hard indel
+    context: the decoder switches to its low-complexity gates there).
+    Returns (ref, [(run_start, run_len, base), ...])."""
+    rng = np.random.RandomState(seed + 7)
+    ref = list(random_reference(length, seed=seed))
+    runs = []
+    step = max(run_every, 300)
+    for start in range(700, length - 700, step):
+        jitter = int(rng.randint(0, max(1, step // 3)))
+        s = start + jitter
+        run_len = int(rng.randint(run_lens[0], run_lens[1] + 1))
+        if s + run_len >= length - 700:
+            continue
+        base = "ACGT"[rng.randint(4)]
+        ref[s:s + run_len] = base * run_len
+        runs.append((s, run_len, base))
+    return "".join(ref), runs
+
+
+def make_mixed_variants(ref, hp_runs, n_variants, n_noise, seed,
+                        min_pos=500, spacing=40, max_indel=10):
+    """Truth variants (pos, ref_allele, alt_allele, gt) + noise triples.
+
+    Composition: ~50% SNP / 25% INS / 25% DEL with indel lengths 1..10,
+    plus homopolymer-adjacent indels anchored directly before planted runs
+    (insertions extend the run base; deletions eat into the run)."""
+    length = len(ref)
+    rng = np.random.RandomState(seed + 13)
+    alt = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    variants = []
+
+    blocked = np.zeros(length, bool)
+    for i, (s, run_len, base) in enumerate(hp_runs):
+        if s - 1 < min_pos or s + run_len > length - min_pos:
+            continue
+        blocked[max(0, s - 2 * spacing):s + run_len + 2 * spacing] = True
+        if i % 2:
+            continue                       # leave half the runs variant-free
+        p = s - 1                          # anchor just before the run
+        gt = "1|1" if len(variants) % 3 == 0 else "1|0"
+        if i % 4 == 0:                     # run-extending insertion
+            ins_len = int(rng.randint(1, 5))
+            variants.append((p, ref[p], ref[p] + base * ins_len, gt))
+        else:                              # deletion into the run
+            del_len = int(rng.randint(1, min(max_indel, run_len)))
+            variants.append((p, ref[p:p + del_len + 1], ref[p], gt))
+    n_hp = len(variants)
+
+    grid = [int(p) for p in np.arange(min_pos, length - min_pos, spacing)
+            if not blocked[p]]
+    grid = [grid[i] for i in rng.permutation(len(grid))]
+    n_general = max(0, n_variants - n_hp)
+    if n_general + n_noise > len(grid):
+        raise ValueError("genome too small for requested variant count")
+    general = sorted(grid[:n_general])
+    noise_positions = sorted(grid[n_general:n_general + n_noise])
+
+    for j, p in enumerate(general):
+        gt = "1|1" if (n_hp + j) % 3 == 0 else "1|0"
+        kind = j % 4
+        if kind in (0, 1):                 # SNP
+            variants.append((p, ref[p], alt[ref[p]], gt))
+        elif kind == 2:                    # insertion, length 1..max_indel
+            ins_len = j % max_indel + 1
+            ins = "".join("ACGT"[k]
+                          for k in rng.randint(0, 4, ins_len))
+            variants.append((p, ref[p], ref[p] + ins, gt))
+        else:                              # deletion, length 1..max_indel
+            del_len = j % max_indel + 1
+            variants.append((p, ref[p:p + del_len + 1], ref[p], gt))
+    variants.sort()
+
+    noise = []
+    for j, p in enumerate(noise_positions):
+        kind = j % 4
+        if kind in (0, 1):
+            noise.append((p, ref[p], alt[ref[p]]))
+        elif kind == 2:
+            ins_len = j % max_indel + 1
+            ins = "".join("ACGT"[k] for k in rng.randint(0, 4, ins_len))
+            noise.append((p, ref[p], ref[p] + ins))
+        else:
+            del_len = j % max_indel + 1
+            noise.append((p, ref[p:p + del_len + 1], ref[p]))
+    return variants, noise
+
+
+def build_mixed_genome(base, name, length, n_variants, n_noise, seed,
+                       read_len=2000, strides=(160, 160, 550),
+                       error_rate=0.03, contig="chrA", run_every=1500):
+    """Simulated genome directory (BAM/FASTA/truth VCF/BED) with mixed
+    SNP/INS/DEL truth incl. homopolymer-adjacent indels and a low-coverage
+    systematic-noise read population, plus uniform sequencing errors."""
+    import os
+
+    from pepper_tpu.io.bam_writer import write_bam, write_fasta
+
+    ref, hp_runs = reference_with_homopolymers(length, seed,
+                                               run_every=run_every)
+    variants, noise = make_mixed_variants(ref, hp_runs, n_variants, n_noise,
+                                          seed)
+    hap1 = [(p, r, a) for p, r, a, g in variants]
+    hap2 = [(p, r, a) for p, r, a, g in variants if g == "1|1"]
+    records = simulate_reads(ref, [hap1, hap2, noise], read_len=read_len,
+                             strides=list(strides), name_prefix=name,
+                             error_rate=error_rate, error_seed=seed)
+    directory = os.path.join(base, name)
+    os.makedirs(directory, exist_ok=True)
+    bam = os.path.join(directory, "reads.bam")
+    fasta = os.path.join(directory, "ref.fa")
+    truth = os.path.join(directory, "truth.vcf")
+    bed = os.path.join(directory, "conf.bed")
+    write_bam(bam, [(contig, length)], records)
+    write_fasta(fasta, {contig: ref})
+    write_truth_vcf(truth, contig, length, variants)
+    with open(bed, "w") as f:
+        f.write(f"{contig}\t0\t{length}\n")
+    return dict(bam=bam, fasta=fasta, truth=truth, bed=bed,
+                variants=variants, noise=noise, ref=ref, contig=contig)
+
+
+def variant_type(ref_allele: str, alt_allele: str) -> str:
+    if len(ref_allele) == len(alt_allele):
+        return "SNP"
+    return "INS" if len(alt_allele) > len(ref_allele) else "DEL"
+
+
+def score_vcf_by_type(vcf_path, variants):
+    """Per-type recall/precision/GT-concordance of a called VCF against the
+    simulated truth (positional match + exact allele match)."""
+    import gzip
+
+    called = {}
+    opener = gzip.open if vcf_path.endswith(".gz") else open
+    with opener(vcf_path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip().split("\t")
+            sample = dict(zip(fields[8].split(":"), fields[9].split(":")))
+            called[int(fields[1]) - 1] = (fields[3], fields[4],
+                                          sample["GT"])
+
+    truth_positions = {p for p, _, _, _ in variants}
+    types = ("SNP", "INS", "DEL")
+    stats = {t: dict(tp=0, fn=0, fp=0, gt_ok=0, n=0) for t in types}
+    for pos, ref_a, alt_a, genotype in variants:
+        kind = variant_type(ref_a, alt_a)
+        stats[kind]["n"] += 1
+        hit = False
+        gt = None
+        if pos in called:
+            ref_c, alts_c, gt = called[pos]
+            if gt != "0/0":
+                if kind == "DEL":
+                    hit = (ref_c == ref_a
+                           and alt_a in alts_c.split(","))
+                else:
+                    hit = alt_a in alts_c.split(",")
+        if hit:
+            stats[kind]["tp"] += 1
+            expected = "1/1" if genotype == "1|1" else "0/1"
+            stats[kind]["gt_ok"] += int(gt == expected)
+        else:
+            stats[kind]["fn"] += 1
+    for pos, (ref_c, alts_c, gt) in called.items():
+        if gt == "0/0" or pos in truth_positions:
+            continue
+        stats[variant_type(ref_c, alts_c.split(",")[0])]["fp"] += 1
+
+    for kind in types:
+        s = stats[kind]
+        s["recall"] = s["tp"] / max(1, s["n"])
+        s["precision"] = s["tp"] / max(1, s["tp"] + s["fp"])
+        s["gt_concordance"] = s["gt_ok"] / max(1, s["tp"])
+    total_tp = sum(stats[t]["tp"] for t in types)
+    total_fp = sum(stats[t]["fp"] for t in types)
+    total_n = sum(stats[t]["n"] for t in types)
+    total_gt = sum(stats[t]["gt_ok"] for t in types)
+    stats["ALL"] = dict(
+        tp=total_tp, fp=total_fp, n=total_n, gt_ok=total_gt,
+        fn=total_n - total_tp,
+        recall=total_tp / max(1, total_n),
+        precision=total_tp / max(1, total_tp + total_fp),
+        gt_concordance=total_gt / max(1, total_tp))
+    return stats
