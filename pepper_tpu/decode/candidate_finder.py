@@ -250,13 +250,18 @@ _decode_fasta_handles = {}
 
 def _decode_worker(args):
     """Decode worker (one process): chunk of predictions -> (margin, dv)
-    lists.  Opens (and caches) its own FASTA handle — ctypes handles do not
-    cross process boundaries."""
+    lists.  Opens (and caches) its own FASTA handle, keyed by PID: a handle
+    inherited across fork() shares the parent's open file description, so
+    two children reading through it race on the shared file offset."""
+    import os
+
     options, fasta_path, chunk = args
-    if fasta_path not in _decode_fasta_handles:
+    key = (os.getpid(), fasta_path)
+    if key not in _decode_fasta_handles:
         from ..io.fasta import FastaReader
-        _decode_fasta_handles[fasta_path] = FastaReader(fasta_path)
-    return decode_predictions(options, chunk, _decode_fasta_handles[fasta_path])
+        _decode_fasta_handles.clear()
+        _decode_fasta_handles[key] = FastaReader(fasta_path)
+    return decode_predictions(options, chunk, _decode_fasta_handles[key])
 
 
 DECODE_CHUNK = 16384

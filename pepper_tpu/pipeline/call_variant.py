@@ -28,9 +28,16 @@ _worker_handles = {}
 
 def _get_handles(bam_path, fasta_path):
     """Per-process persistent BAM/FASTA handles (pool workers process many
-    intervals; reopening per task costs header+index parses)."""
-    key = (bam_path, fasta_path)
+    intervals; reopening per task costs header+index parses).
+
+    Keyed by PID: fork()-started pool workers inherit the parent's cache,
+    and inherited readers share the parent's open file descriptions — two
+    children seeking/reading through the same file offset race and return
+    corrupt slices. A PID mismatch forces each child to open fresh handles.
+    """
+    key = (os.getpid(), bam_path, fasta_path)
     if key not in _worker_handles:
+        _worker_handles.clear()  # drop inherited (cross-process) handles
         _worker_handles[key] = (BamReader(bam_path), FastaReader(fasta_path))
     return _worker_handles[key]
 
