@@ -86,17 +86,104 @@ def main():
         predictions = runner.predict(windows)
         timer.add(len(windows))
 
-    with StageTimer("DECODE + VCF", unit="candidates") as timer:
-        margin, dv = decode_predictions(options, predictions, fasta_handler)
+    import concurrent.futures
+
+    from pepper_tpu.decode.candidate_finder import (
+        decode_predictions_parallel)
+
+    with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as pool:
+        with StageTimer("DECODE (pool)", unit="candidates") as timer:
+            margin, dv = decode_predictions_parallel(
+                options, predictions, fasta, threads, pool=pool)
+            timer.add(len(predictions))
         contigs, _, dv_dict = find_candidates(margin, dv)
-        writer = VCFWriter(contigs, fasta_handler, "S", tmp, "FULL", "PEP",
-                           "VC")
-        totals = writer.write_vcf_records(dv_dict, options)
-        writer.close()
-        timer.add(totals[0])
+        with StageTimer("VCF WRITE (pool)", unit="records") as timer:
+            writer = VCFWriter(contigs, fasta_handler, "S", tmp, "FULL",
+                               "PEP", "VC")
+            totals = writer.write_vcf_records_parallel(dv_dict, options,
+                                                       pool, threads)
+            writer.close()
+            timer.add(totals[0])
     log_line(f"TOTAL RECORDS: {totals[0]}")
     log_line(f"OUTPUT: {tmp}")
 
 
+def bench_vcf_only(n_sites: int, threads: int):
+    """WGS-tail VCF emission bench: n_sites synthetic multiallelic-ish
+    sites -> 5 bgzf VCFs + tabix, sequential vs pool-parallel."""
+    import concurrent.futures
+    import shutil
+
+    import numpy as np
+
+    from pepper_tpu.decode.vcf_writer import VCFWriter
+    from pepper_tpu.io.bam_writer import write_fasta
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.utils.profiling import StageTimer, log_line
+
+    options = set_parameters(PepperOptions(
+        ont_r9_guppy5_sup=True, sub_command="call_variant"))
+    tmp = tempfile.mkdtemp(prefix="pepper_vcfbench_")
+    contig_len = 500_000_000
+    write_fasta(os.path.join(tmp, "ref.fa"),
+                {"chr1": "ACGT" * 256})  # header only needs names/lengths
+    fasta_handler = FastaReader(os.path.join(tmp, "ref.fa"))
+    # synthetic dv candidates shaped like decode output (12-tuple)
+    rng = np.random.RandomState(7)
+    log_line(f"SYNTHESIZING {n_sites:,} SITES")
+    positions = np.sort(rng.choice(contig_len, size=n_sites, replace=False))
+    probs = rng.dirichlet(np.ones(3) * 0.6, size=n_sites)
+    depths = rng.randint(20, 60, size=n_sites)
+    supports = rng.randint(5, 40, size=n_sites)
+    kinds = rng.randint(0, 3, size=n_sites)
+    dv_dict = {}
+    for i in range(n_sites):
+        pos = int(positions[i])
+        ref_allele, alt = (("A", "T"), ("A", "ACC"), ("ACC", "A"))[kinds[i]]
+        p = probs[i]
+        candidate = ("chr1", pos, pos + len(ref_allele), ref_allele,
+                     [alt], [0, 1], int(depths[i]), [int(supports[i])],
+                     float(p.max()), p, [float(p[1:].max())], bool(i % 5 == 0))
+        dv_dict[("chr1", pos)] = [candidate]
+
+    results = {}
+    for label, env, run_threads in (
+            ("native, 1 thread", None, 1),
+            (f"native, {threads} threads", None, threads),
+            ("python engine, 1 core", "1", 1),
+            (f"python engine, pool x{threads}", "1", threads)):
+        out = os.path.join(tmp, label.replace(" ", "_").replace(",", ""))
+        os.makedirs(out)
+        if env:
+            os.environ["PEPPER_PY_VCF"] = env
+        pool = None
+        if env and run_threads > 1:
+            pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=run_threads)
+            pool.submit(os.getpid).result()  # spin up outside the timer
+        try:
+            writer = VCFWriter(["chr1"], fasta_handler, "S", out, "FULL",
+                               "PEP", "VC")
+            with StageTimer(f"VCF WRITE ({label})", unit="records") as timer:
+                totals = writer.write_vcf_records_parallel(
+                    dv_dict, options, pool, run_threads)
+                writer.close()
+                timer.add(totals[0])
+            results[label] = totals
+        finally:
+            os.environ.pop("PEPPER_PY_VCF", None)
+            if pool is not None:
+                pool.shutdown()
+    assert len(set(results.values())) == 1, results
+    shutil.rmtree(tmp)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "vcf":
+        bench_vcf_only(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
+                       int(sys.argv[3]) if len(sys.argv) > 3
+                       else (os.cpu_count() or 4))
+    else:
+        main()

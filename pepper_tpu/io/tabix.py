@@ -3,10 +3,13 @@
 Same UCSC binning + 16kb linear index as BAI; header per the tabix spec
 (preset format=2 for VCF).
 
-`add` is on the VCF-emission hot path, so it only appends to flat per-ref
-lists; binning, chunk merging and the linear index are built vectorized in
-`write` (records arrive in increasing virtual-offset order, which makes the
-adjacent-chunk merge a stable-sort + boundary scan).
+`add`/`add_many` are on the VCF-emission hot path, so they only append to
+per-ref segment stores (plain lists for scalar adds, numpy arrays for bulk
+adds); binning, chunk merging, the linear index and the serialized
+bin/chunk stream are all built vectorized in `write` (records arrive in
+increasing virtual-offset order, which makes the adjacent-chunk merge a
+stable-sort + boundary scan).  Byte-identical to the incremental
+reference algorithm (tests/test_tabix_builder.py).
 """
 
 from __future__ import annotations
@@ -38,29 +41,58 @@ class TabixIndexBuilder:
     def __init__(self):
         self._names: list[str] = []
         self._name_ids: dict[str, int] = {}
-        # per ref: [begs, ends, voff_starts, voff_ends] flat lists
-        self._refs: list[list[list[int]]] = []
+        # per ref: list of segments; a segment is a 4-tuple of parallel
+        # (begs, ends, voff_starts, voff_ends) — plain lists (scalar adds)
+        # or int64 arrays (bulk adds), in arrival order
+        self._refs: list[list[tuple]] = []
+
+    def _segments(self, contig: str) -> list:
+        ref = self._name_ids.get(contig)
+        if ref is None:
+            ref = self._name_ids[contig] = len(self._names)
+            self._names.append(contig)
+            self._refs.append([])
+        return self._refs[ref]
 
     def add(self, contig: str, beg: int, end: int, voff_start: int,
             voff_end: int) -> None:
         """Register a record spanning [beg, end) 0-based at the given BGZF
         virtual offsets.  Records must arrive in file-write order
         (increasing virtual offset), which VCF emission guarantees."""
-        ref = self._name_ids.get(contig)
-        if ref is None:
-            ref = self._name_ids[contig] = len(self._names)
-            self._names.append(contig)
-            self._refs.append([[], [], [], []])
-        begs, ends, starts, stops = self._refs[ref]
+        segments = self._segments(contig)
+        if not segments or not isinstance(segments[-1][0], list):
+            segments.append(([], [], [], []))
+        begs, ends, starts, stops = segments[-1]
         begs.append(beg)
         ends.append(end)
         starts.append(voff_start)
         stops.append(voff_end)
 
+    def add_many(self, contig: str, begs, ends, voff_starts,
+                 voff_ends) -> None:
+        """Bulk `add` for one contig run (equal-length sequences, in
+        increasing virtual-offset order)."""
+        self._segments(contig).append(
+            (np.asarray(begs, np.int64), np.asarray(ends, np.int64),
+             np.asarray(voff_starts, np.int64),
+             np.asarray(voff_ends, np.int64)))
+
+    def _columns(self, ref: int):
+        segments = self._refs[ref]
+        if not segments:
+            zeros = np.zeros(0, np.int64)
+            return zeros, zeros, zeros, zeros
+        if len(segments) == 1:
+            return tuple(np.asarray(c, np.int64) for c in segments[0])
+        return tuple(
+            np.concatenate([np.asarray(seg[i], np.int64)
+                            for seg in segments])
+            for i in range(4))
+
     def _build_ref(self, ref: int):
-        """-> (sorted {bin: [(voff_beg, voff_end), ...]}, linear_fill list)."""
-        begs, ends, starts, stops = (np.asarray(c, np.int64)
-                                     for c in self._refs[ref])
+        """-> (serialized bins+chunks bytes incl. n_bin header,
+               linear index int64 array)."""
+        begs, ends, starts, stops = self._columns(ref)
         n = len(begs)
         bins = _reg2bin_vec(begs, ends)
 
@@ -81,22 +113,45 @@ class TabixIndexBuilder:
         chunk_end = e_sorted[np.append(chunk_idx[1:] - 1, n - 1)] \
             if n else np.zeros(0, np.int64)
         chunk_bin = b_sorted[chunk_idx]
-        bin_table = {}
-        bin_starts = np.flatnonzero(
-            np.concatenate([[True], chunk_bin[1:] != chunk_bin[:-1]])) \
-            if len(chunk_bin) else np.zeros(0, np.int64)
-        bin_bounds = np.append(bin_starts, len(chunk_bin))
-        for i, start in enumerate(bin_starts):
-            stop = bin_bounds[i + 1]
-            bin_table[int(chunk_bin[start])] = list(
-                zip(chunk_beg[start:stop].tolist(),
-                    chunk_end[start:stop].tolist()))
+
+        # serialize [n_bin] {bin_id, n_chunk, chunks[16B]} in one buffer:
+        # chunk pairs are already contiguous per ascending bin, so the
+        # stream is the chunk-pair payload with an 8-byte header scattered
+        # in at each bin start
+        unique_bins, bin_counts = (np.unique(chunk_bin,
+                                             return_counts=True)
+                                   if len(chunk_bin)
+                                   else (np.zeros(0, np.int64),
+                                         np.zeros(0, np.int64)))
+        n_bins = len(unique_bins)
+        n_chunks = len(chunk_beg)
+        blob = np.zeros(4 + 8 * n_bins + 16 * n_chunks, np.uint8)
+        blob[:4].view("<i4")[0] = n_bins
+        cum = np.concatenate([[0], np.cumsum(bin_counts)])
+        header_off = 4 + 8 * np.arange(n_bins, dtype=np.int64) \
+            + 16 * cum[:-1]
+        headers = np.empty((n_bins, 2), "<u4")
+        headers[:, 0] = unique_bins
+        headers[:, 1] = bin_counts
+        header_bytes = headers.view(np.uint8).reshape(n_bins, 8)
+        blob[(header_off[:, None]
+              + np.arange(8, dtype=np.int64)).ravel()] = \
+            header_bytes.ravel()
+        pairs = np.empty((n_chunks, 2), "<u8")
+        pairs[:, 0] = chunk_beg
+        pairs[:, 1] = chunk_end
+        chunk_off = (np.repeat(header_off + 8, bin_counts)
+                     + 16 * (np.arange(n_chunks, dtype=np.int64)
+                             - np.repeat(cum[:-1], bin_counts)))
+        blob[(chunk_off[:, None]
+              + np.arange(16, dtype=np.int64)).ravel()] = \
+            pairs.view(np.uint8).ravel()
 
         # linear index: min voff_start per overlapped 16kb window, then
         # forward-fill (missing windows inherit the previous value, 0 before
         # the first)
         if n == 0:
-            return bin_table, []
+            return blob.tobytes(), np.zeros(0, np.int64)
         w0 = begs >> 14
         w1 = (np.maximum(begs + 1, ends) - 1) >> 14
         n_intv = int(w1.max()) + 1
@@ -113,7 +168,7 @@ class TabixIndexBuilder:
             idx = np.where(missing, 0, np.arange(n_intv))
             np.maximum.accumulate(idx, out=idx)
             linear = values[idx]
-        return bin_table, linear.tolist()
+        return blob.tobytes(), linear
 
     def write(self, path: str) -> None:
         from .bgzf_writer import BgzfWriter
@@ -126,13 +181,8 @@ class TabixIndexBuilder:
                                      0, ord("#"), 0, len(names_blob)))
             writer.write(names_blob)
             for ref in range(len(self._names)):
-                bins, linear = self._build_ref(ref)
-                writer.write(struct.pack("<i", len(bins)))
-                for bin_id in sorted(bins):
-                    chunks = bins[bin_id]
-                    writer.write(struct.pack("<Ii", bin_id, len(chunks)))
-                    for beg_voff, end_voff in chunks:
-                        writer.write(struct.pack("<QQ", beg_voff, end_voff))
+                bins_blob, linear = self._build_ref(ref)
+                writer.write(bins_blob)
                 writer.write(struct.pack("<i", len(linear)))
-                writer.write(struct.pack(f"<{len(linear)}Q", *linear))
+                writer.write(linear.astype("<u8").tobytes())
             writer.close()

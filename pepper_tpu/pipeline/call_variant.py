@@ -265,6 +265,15 @@ def call_variant(options, params=None):
                 margin, deepvariant = future.result()
                 margin_list.extend(margin)
                 deepvariant_list.extend(deepvariant)
+            contigs, margin_dict, dv_dict = find_candidates(
+                margin_list, deepvariant_list)
+            writer = VCFWriter(contigs, fasta_handler, options.sample_name,
+                               options.output_dir, "PEPPER_VARIANT_FULL",
+                               "PEPPER_VARIANT_OUTPUT_PEPPER",
+                               "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING")
+            totals = writer.write_vcf_records_parallel(
+                dv_dict, options, pool, options.threads)
+            writer.close()
     else:
         predictions, total_windows = _stream_predictions(options, intervals,
                                                          bed_list,
@@ -273,15 +282,14 @@ def call_variant(options, params=None):
         log_info("FINISHED PREDICTION")
         margin_list, deepvariant_list = decode_predictions(
             options, predictions, fasta_handler)
-    contigs, margin_dict, dv_dict = find_candidates(margin_list,
-                                                    deepvariant_list)
-
-    writer = VCFWriter(contigs, fasta_handler, options.sample_name,
-                       options.output_dir, "PEPPER_VARIANT_FULL",
-                       "PEPPER_VARIANT_OUTPUT_PEPPER",
-                       "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING")
-    totals = writer.write_vcf_records(dv_dict, options)
-    writer.close()
+        contigs, margin_dict, dv_dict = find_candidates(margin_list,
+                                                        deepvariant_list)
+        writer = VCFWriter(contigs, fasta_handler, options.sample_name,
+                           options.output_dir, "PEPPER_VARIANT_FULL",
+                           "PEPPER_VARIANT_OUTPUT_PEPPER",
+                           "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING")
+        totals = writer.write_vcf_records(dv_dict, options)
+        writer.close()
 
     (total, total_pepper, total_vc, total_snp, total_indel) = totals
     log_info(f"FINISHED PROCESSING, TOTAL CANDIDATES FOUND: {total}")

@@ -142,16 +142,25 @@ def process_candidates(options, input_dir: str, output_dir: str):
                 all_predictions.extend(store.read_batch(name))
 
     log_info("STARTING CANDIDATE FINDING.")
-    margin_list, dv_list = decode_predictions_parallel(
-        options, all_predictions, options.fasta,
-        getattr(options, "threads", 1))
-    contigs, margin_dict, dv_dict = find_candidates(margin_list, dv_list)
-    writer = VCFWriter(contigs, fasta_handler, options.sample_name,
-                       output_dir, "PEPPER_VARIANT_FULL",
-                       "PEPPER_VARIANT_OUTPUT_PEPPER",
-                       "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING")
-    totals = writer.write_vcf_records(dv_dict, options)
-    writer.close()
+    threads = getattr(options, "threads", 1)
+    pool = None
+    if threads > 1:
+        import concurrent.futures
+        pool = concurrent.futures.ProcessPoolExecutor(max_workers=threads)
+    try:
+        margin_list, dv_list = decode_predictions_parallel(
+            options, all_predictions, options.fasta, threads, pool=pool)
+        contigs, margin_dict, dv_dict = find_candidates(margin_list, dv_list)
+        writer = VCFWriter(contigs, fasta_handler, options.sample_name,
+                           output_dir, "PEPPER_VARIANT_FULL",
+                           "PEPPER_VARIANT_OUTPUT_PEPPER",
+                           "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING")
+        totals = writer.write_vcf_records_parallel(dv_dict, options, pool,
+                                                   threads)
+        writer.close()
+    finally:
+        if pool is not None:
+            pool.shutdown()
     total, pepper, vc, snp, indel = totals
     log_info(f"FINISHED PROCESSING, TOTAL CANDIDATES FOUND: {total}")
     log_info(f"FINISHED PROCESSING, TOTAL VARIANTS IN PEPPER: {pepper}")

@@ -311,3 +311,247 @@ def test_parallel_decode_matches_sequential(fasta, tmp_path):
                                            threads=4, chunk_size=32)
     assert _normalize(parallel[0]) == _normalize(sequential[0])
     assert _normalize(parallel[1]) == _normalize(sequential[1])
+
+
+# ---- parallel VCF emission ----
+
+def _read_bgzf_blocks(path):
+    """coffset -> decompressed block bytes."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    blocks = {}
+    offset = 0
+    while offset < len(data):
+        xlen = struct.unpack_from("<H", data, offset + 10)[0]
+        bsize = struct.unpack_from("<H", data, offset + 16)[0] + 1
+        cdata = data[offset + 12 + xlen:offset + bsize - 8]
+        blocks[offset] = zlib.decompress(cdata, -15)
+        offset += bsize
+    return blocks
+
+
+def _parse_tbi_chunk_starts(path):
+    """All chunk-begin virtual offsets from a .tbi index."""
+    import struct
+
+    blocks = _read_bgzf_blocks(path)
+    raw = b"".join(blocks[k] for k in sorted(blocks))
+    assert raw[:4] == b"TBI\x01"
+    n_ref = struct.unpack_from("<i", raw, 4)[0]
+    l_nm = struct.unpack_from("<i", raw, 32)[0]
+    offset = 36 + l_nm
+    starts = []
+    for _ in range(n_ref):
+        n_bin = struct.unpack_from("<i", raw, offset)[0]
+        offset += 4
+        for _ in range(n_bin):
+            n_chunk = struct.unpack_from("<i", raw, offset + 4)[0]
+            offset += 8
+            for _ in range(n_chunk):
+                u, _v = struct.unpack_from("<QQ", raw, offset)
+                starts.append(u)
+                offset += 16
+        n_intv = struct.unpack_from("<i", raw, offset)[0]
+        offset += 4 + 8 * n_intv
+    return starts
+
+
+def test_parallel_vcf_emission_matches_sequential(fasta, tmp_path):
+    """write_vcf_records_parallel: identical decompressed contents + totals
+    vs the sequential writer across all 5 files, multi-contig, with valid
+    rebased tabix offsets (every chunk start lands on a record start)."""
+    import concurrent.futures
+
+    from pepper_tpu.io.bam_writer import write_fasta
+
+    rng = np.random.RandomState(21)
+    seqs = {}
+    prev = ""
+    for contig in ("chr1", "chr2", "chr3"):
+        bases = []
+        for _ in range(3000):
+            choices = [b for b in "ACGT" if b != prev]
+            prev = choices[rng.randint(3)]
+            bases.append(prev)
+        seqs[contig] = "".join(bases)
+    ref_path = str(tmp_path / "multi.fa")
+    write_fasta(ref_path, seqs)
+    handler = FastaReader(ref_path)
+
+    options = make_options()
+    predictions = []
+    for contig, seq in seqs.items():
+        # overlapping position sets across contigs exercise the
+        # cross-contig last_position quirk
+        for pos in range(10, 2900, 7):
+            kind = ("1", "2", "3")[pos % 3]
+            allele = ("A", "AC", seq[pos:pos + 2])[pos % 3]
+            probs = rng.dirichlet(np.ones(3) * 0.5)
+            predictions.append(prediction(
+                contig, pos, [f"{kind}{allele}"],
+                [int(rng.randint(3, 30))], probs, depth=40))
+    margin, dv = decode_predictions(options, predictions, handler)
+    contigs, _margin_dict, dv_dict = find_candidates(margin, dv)
+    assert len(dv_dict) > 300
+
+    out_seq = str(tmp_path / "seq")
+    out_par = str(tmp_path / "par")
+    os.makedirs(out_seq), os.makedirs(out_par)
+    writer = VCFWriter(contigs, handler, "S", out_seq, "FULL", "PEPPER",
+                       "VC")
+    totals_seq = writer.write_vcf_records(dv_dict, options)
+    writer.close()
+
+    writer = VCFWriter(contigs, handler, "S", out_par, "FULL", "PEPPER",
+                       "VC")
+    with concurrent.futures.ProcessPoolExecutor(max_workers=3) as pool:
+        totals_par = writer.write_vcf_records_parallel(
+            dv_dict, options, pool, threads=3, chunk=64)
+    writer.close()
+
+    assert totals_par == totals_seq
+    names = ("FULL", "PEPPER", "VC", "VC_SNPs", "VC_INDEL")
+    for name in names:
+        with gzip.open(os.path.join(out_seq, name + ".vcf.gz"), "rb") as f:
+            expected = f.read()
+        with gzip.open(os.path.join(out_par, name + ".vcf.gz"), "rb") as f:
+            got = f.read()
+        assert got == expected, name
+
+    # tabix validity on the parallel files: every chunk-begin virtual
+    # offset must decode to the start of a record line
+    contig_prefixes = tuple(c.encode() + b"\t" for c in seqs)
+    for name in names:
+        path = os.path.join(out_par, name + ".vcf.gz")
+        blocks = _read_bgzf_blocks(path)
+        for voff in _parse_tbi_chunk_starts(path + ".tbi"):
+            coffset, intra = voff >> 16, voff & 0xffff
+            assert coffset in blocks
+            snippet = blocks[coffset][intra:intra + 8]
+            assert snippet.startswith(contig_prefixes), (name, voff)
+
+
+def test_parallel_vcf_emission_small_fallback(fasta, tmp_path):
+    """Below the chunk threshold the parallel entry point must defer to the
+    sequential writer (no pool round-trips for tiny runs)."""
+    handler, seq = fasta
+    options = make_options()
+    pos = 100
+    alt = {"A": "T", "T": "A", "C": "G", "G": "C"}[seq[pos]]
+    predictions = [prediction("chr1", pos, ["1" + alt], [25],
+                              [0.01, 0.97, 0.02])]
+    margin, dv = decode_predictions(options, predictions, handler)
+    contigs, _m, dv_dict = find_candidates(margin, dv)
+    out = str(tmp_path / "small")
+    os.makedirs(out)
+    writer = VCFWriter(contigs, handler, "S", out, "FULL", "PEPPER", "VC")
+    totals = writer.write_vcf_records_parallel(dv_dict, options, None, 8)
+    writer.close()
+    assert totals[0] == 1
+
+
+def test_fast_single_candidate_encode_matches_general(fasta):
+    """_encode_single_candidate must equal encode_vcf_record([c]) exactly
+    (line bytes, span, route) over fuzzed probabilities/types/repeats."""
+    from pepper_tpu.decode.vcf_writer import (_encode_single_candidate,
+                                              encode_vcf_record)
+
+    options = make_options()
+    rng = np.random.RandomState(33)
+    for i in range(4000):
+        pos = int(rng.randint(0, 1 << 30))
+        ref_allele, alt = (("A", "T"), ("A", "ACC"), ("ACCG", "A"),
+                           ("C", "CTTTTT"))[i % 4]
+        probs = rng.dirichlet(np.ones(3) * 0.4)
+        n_ap = int(rng.randint(1, 4))
+        candidate = ("chr1", pos, pos + len(ref_allele), ref_allele,
+                     [alt], [0, 1], int(rng.randint(1, 80)),
+                     [int(rng.randint(0, 60))], float(probs.max()), probs,
+                     [float(rng.rand()) for _ in range(n_ap)],
+                     bool(i % 3 == 0))
+        fast = _encode_single_candidate(candidate, options)
+        general = encode_vcf_record([candidate], options)
+        assert fast == general, i
+
+
+def test_native_vcf_emit_matches_python(fasta, tmp_path, monkeypatch):
+    """The _pepper_vcfemit extension must produce byte-identical .vcf.gz
+    and .tbi files to the pure-Python engine (same chunking + deflate
+    parameters), across single/multi-candidate sites, an empty group
+    (None record), and a cross-contig equal-position dedup."""
+    from pepper_tpu.decode import vcf_writer as vw
+    from pepper_tpu.io.bam_writer import write_fasta
+
+    if vw._get_native_emit() is None:
+        pytest.skip("native vcf emit unavailable")
+
+    rng = np.random.RandomState(5)
+    seqs = {"chr1": "".join("ACGT"[i] for i in rng.randint(0, 4, 4000)),
+            "chr2": "".join("ACGT"[i] for i in rng.randint(0, 4, 4000)),
+            "chr3": "".join("ACGT"[i] for i in rng.randint(0, 4, 4000))}
+    ref_path = str(tmp_path / "two.fa")
+    write_fasta(ref_path, seqs)
+    handler = FastaReader(ref_path)
+    options = make_options()
+
+    def candidate(contig, pos, kind, p, n_ap=1, depth=40, support=20):
+        ref_allele, alt = (("A", "T"), ("A", "ACC"), ("ACCG", "A"))[kind]
+        return (contig, pos, pos + len(ref_allele), ref_allele, [alt],
+                [0, 1], depth, [support], float(np.max(p)), np.asarray(p),
+                [float(x) for x in rng.rand(n_ap)], bool(pos % 3 == 0))
+
+    dv_dict = {}
+    for contig in ("chr1", "chr2"):
+        for pos in range(10, 3900, 5):
+            p = rng.dirichlet(np.ones(3) * 0.5)
+            group = [candidate(contig, pos, pos % 3, p,
+                               n_ap=1 + pos % 3)]
+            if pos % 11 == 0:  # multi-candidate site -> general path
+                q = rng.dirichlet(np.ones(3) * 0.5)
+                group.append(candidate(contig, pos, (pos + 1) % 3, q,
+                                       support=9))
+            dv_dict[(contig, pos)] = group
+    # chr3's only site sits at chr2's last emitted position — the
+    # cross-contig `last_position` dedup must drop it (VcfWriter.py:149)
+    dv_dict[("chr3", 3895)] = [candidate(
+        "chr3", 3895, 0, rng.dirichlet(np.ones(3)))]
+    dv_dict[("chr1", 777)] = []  # empty group -> None record path
+
+    outputs = {}
+    for engine in ("native", "python"):
+        if engine == "python":
+            monkeypatch.setenv("PEPPER_PY_VCF", "1")
+        out = str(tmp_path / engine)
+        os.makedirs(out)
+        writer = VCFWriter(list(seqs), handler, "S", out, "FULL", "PEPPER",
+                           "VC")
+        totals = writer.write_vcf_records_parallel(dv_dict, options, None,
+                                                   2, chunk=64)
+        writer.close()
+        outputs[engine] = (totals, out)
+        monkeypatch.delenv("PEPPER_PY_VCF", raising=False)
+
+    assert outputs["native"][0] == outputs["python"][0]
+    assert outputs["native"][0][0] > 1000
+    # decompressed contents must be byte-identical; compressed bytes may
+    # differ only in block boundaries (the engines chunk on items vs
+    # emitted records), so tabix validity is checked semantically
+    contig_prefixes = tuple(c.encode() + b"\t" for c in seqs)
+    for name in ("FULL", "PEPPER", "VC", "VC_SNPs", "VC_INDEL"):
+        with gzip.open(os.path.join(outputs["native"][1],
+                                    name + ".vcf.gz"), "rb") as f:
+            native_content = f.read()
+        with gzip.open(os.path.join(outputs["python"][1],
+                                    name + ".vcf.gz"), "rb") as f:
+            python_content = f.read()
+        assert native_content == python_content, name
+        assert b"\nchr3\t" not in native_content  # cross-contig dedup
+        path = os.path.join(outputs["native"][1], name + ".vcf.gz")
+        blocks = _read_bgzf_blocks(path)
+        for voff in _parse_tbi_chunk_starts(path + ".tbi"):
+            coffset, intra = voff >> 16, voff & 0xffff
+            snippet = blocks[coffset][intra:intra + 8]
+            assert snippet.startswith(contig_prefixes), (name, voff)
