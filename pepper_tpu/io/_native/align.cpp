@@ -3,21 +3,51 @@
 #include <algorithm>
 #include <vector>
 
+#ifdef __SSE2__
+#include <emmintrin.h>
+#endif
+
 namespace {
 
 enum Trace : uint8_t {
   TRACE_NONE = 0,
   TRACE_DIAG = 1,
-  TRACE_UP = 2,    // gap in query (deletion from target): consume target
-  TRACE_LEFT = 3,  // gap in target (insertion in query): consume query
+  TRACE_UP = 2,    // vertical gap (F): consume query, emits 'I'
+  TRACE_LEFT = 3,  // horizontal gap (E): consume target, emits 'D'
 };
+
+// run-length CIGAR with soft clips from a reversed op string ('='/'X'/'I'/
+// 'D'), shared by the scalar and striped engines
+std::string build_cigar(const std::string& ops_reversed, int64_t query_begin,
+                        int64_t query_end, int64_t query_len) {
+  std::string cigar;
+  auto append_run = [&cigar](char op, int64_t count) {
+    if (count > 0) cigar += std::to_string(count) + op;
+  };
+  append_run('S', query_begin);
+  int64_t run = 0;
+  char run_op = 0;
+  for (auto it = ops_reversed.rbegin(); it != ops_reversed.rend(); ++it) {
+    if (*it == run_op) {
+      ++run;
+    } else {
+      append_run(run_op, run);
+      run_op = *it;
+      run = 1;
+    }
+  }
+  append_run(run_op, run);
+  append_run('S', query_len - 1 - query_end);
+  return cigar;
+}
 
 }  // namespace
 
-AlignmentResult smith_waterman(const std::string& target,
-                               const std::string& query, int match_score,
-                               int mismatch_penalty, int gap_open_penalty,
-                               int gap_extend_penalty) {
+AlignmentResult smith_waterman_scalar(const std::string& target,
+                                      const std::string& query,
+                                      int match_score, int mismatch_penalty,
+                                      int gap_open_penalty,
+                                      int gap_extend_penalty) {
   AlignmentResult result;
   const int64_t n = static_cast<int64_t>(target.size());
   const int64_t m = static_cast<int64_t>(query.size());
@@ -124,26 +154,274 @@ AlignmentResult smith_waterman(const std::string& target,
   }
   result.ref_begin = j;
   result.query_begin = i;
+  result.cigar = build_cigar(ops, result.query_begin, result.query_end, m);
+  return result;
+}
 
-  // build run-length cigar with soft clips for unaligned query ends
-  std::string cigar;
-  auto append_run = [&cigar](char op, int64_t count) {
-    if (count > 0) cigar += std::to_string(count) + op;
-  };
-  append_run('S', result.query_begin);
-  int64_t run = 0;
-  char run_op = 0;
-  for (auto it = ops.rbegin(); it != ops.rend(); ++it) {
-    if (*it == run_op) {
-      ++run;
-    } else {
-      append_run(run_op, run);
-      run_op = *it;
-      run = 1;
+#ifdef __SSE2__
+
+namespace {
+
+// Striped (Farrar-layout) affine-gap local alignment, 8 x int16 lanes.
+//
+// Produces results bit-identical to smith_waterman_scalar (fuzz-asserted
+// in tests/test_align.py): the DP stores five packed bitplanes per cell —
+// H-move up/left/none plus E/F gap-extension flags — computed with the
+// scalar engine's exact comparison predicates, and the traceback replays
+// the scalar walk over those bits.  The vertical gap state F is computed
+// EXACTLY (including its negative values, which the bit predicates need)
+// via a prefix-max scan instead of the classic lazy-F loop: with
+// gap_open >= gap_extend, opening from an F-derived H cell never beats
+// extending, so F(i,j) = max over k < i of H0(k,j) - open - (i-1-k)*ext
+//                        , and the virtual row-0 chain -i*ext
+// where H0 = max(diag, E, 0) — a running max of G(k) = H0(k) + k*ext.
+//
+// Striped element mapping: query index q (0-based) lives at segment
+// s = q % seg_len, lane l = q / seg_len (each lane covers a contiguous
+// query block, so in-lane segment order is query order).
+struct StripedPlanes {
+  int64_t seg_len;
+  // planes[j * seg_len + s], bit l  (j 0-based target index)
+  std::vector<uint8_t> up, left, none, e_ext, f_ext;
+  bool bit(const std::vector<uint8_t>& plane, int64_t i, int64_t j) const {
+    const int64_t q = i - 1;
+    return (plane[(j - 1) * seg_len + (q % seg_len)] >>
+            (q / seg_len)) & 1;
+  }
+};
+
+inline uint8_t mask8(__m128i cmp16) {
+  return static_cast<uint8_t>(
+      _mm_movemask_epi8(_mm_packs_epi16(cmp16, _mm_setzero_si128())));
+}
+
+inline __m128i blend16(__m128i a, __m128i b, __m128i mask) {
+  return _mm_or_si128(_mm_and_si128(mask, b), _mm_andnot_si128(mask, a));
+}
+
+AlignmentResult smith_waterman_striped(const std::string& target,
+                                       const std::string& query,
+                                       int match_score, int mismatch_penalty,
+                                       int gap_open_penalty,
+                                       int gap_extend_penalty) {
+  AlignmentResult result;
+  const int64_t n = static_cast<int64_t>(target.size());
+  const int64_t m = static_cast<int64_t>(query.size());
+  const int64_t seg_len = (m + 7) / 8;
+  const int64_t lanes = 8;
+
+  const __m128i v_gap_open = _mm_set1_epi16(static_cast<int16_t>(
+      gap_open_penalty));
+  const __m128i v_gap_ext = _mm_set1_epi16(static_cast<int16_t>(
+      gap_extend_penalty));
+  const __m128i v_match = _mm_set1_epi16(static_cast<int16_t>(match_score));
+  const __m128i v_mism = _mm_set1_epi16(static_cast<int16_t>(
+      -mismatch_penalty));
+  const __m128i v_zero = _mm_setzero_si128();
+
+  // striped query codes (padding -1 never matches a target byte)
+  std::vector<__m128i> v_qcode(seg_len);
+  // per-element constants: i, (i-1)*ext + open, i*ext
+  std::vector<__m128i> v_open_decay(seg_len), v_virtual(seg_len);
+  {
+    alignas(16) int16_t buf[8];
+    for (int64_t s = 0; s < seg_len; ++s) {
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t q = l * seg_len + s;
+        buf[l] = q < m ? static_cast<int16_t>(
+                             static_cast<unsigned char>(query[q]))
+                       : static_cast<int16_t>(-1);
+      }
+      v_qcode[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t i = l * seg_len + s + 1;  // 1-based query row
+        buf[l] = static_cast<int16_t>((i - 1) * gap_extend_penalty +
+                                      gap_open_penalty);
+      }
+      v_open_decay[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t i = l * seg_len + s + 1;
+        buf[l] = static_cast<int16_t>(-i * gap_extend_penalty);
+      }
+      v_virtual[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
     }
   }
-  append_run(run_op, run);
-  append_run('S', m - 1 - result.query_end);
-  result.cigar = cigar;
+  // G(k) = H0(k) + k*ext needs per-element k = i
+  std::vector<__m128i> v_idx_ext(seg_len);
+  {
+    alignas(16) int16_t buf[8];
+    for (int64_t s = 0; s < seg_len; ++s) {
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t i = l * seg_len + s + 1;
+        buf[l] = static_cast<int16_t>(i * gap_extend_penalty);
+      }
+      v_idx_ext[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
+    }
+  }
+
+  std::vector<__m128i> h_prev(seg_len, v_zero), e_prev(seg_len, v_zero);
+  std::vector<__m128i> h_new(seg_len), e_new(seg_len), f_new(seg_len);
+  std::vector<__m128i> diag(seg_len), pref(seg_len);
+  std::vector<__m128i> v_best(seg_len, v_zero), v_best_j(seg_len, v_zero);
+
+  StripedPlanes planes;
+  planes.seg_len = seg_len;
+  const size_t plane_size = static_cast<size_t>(n) * seg_len;
+  planes.up.resize(plane_size);
+  planes.left.resize(plane_size);
+  planes.none.resize(plane_size);
+  planes.e_ext.resize(plane_size);
+  planes.f_ext.resize(plane_size);
+
+  for (int64_t j = 1; j <= n; ++j) {
+    const __m128i v_tc = _mm_set1_epi16(static_cast<int16_t>(
+        static_cast<unsigned char>(target[j - 1])));
+    const size_t col = static_cast<size_t>(j - 1) * seg_len;
+    // E (horizontal gap) + its extension bits, from column j-1 finals
+    for (int64_t s = 0; s < seg_len; ++s) {
+      const __m128i e_ext_v = _mm_sub_epi16(e_prev[s], v_gap_ext);
+      const __m128i e_open_v = _mm_sub_epi16(h_prev[s], v_gap_open);
+      planes.e_ext[col + s] = mask8(_mm_cmpgt_epi16(e_ext_v, e_open_v));
+      e_new[s] = _mm_max_epi16(e_ext_v, e_open_v);
+      // diag candidate: H(i-1, j-1) + substitution
+      const __m128i h_diag =
+          s == 0 ? _mm_slli_si128(h_prev[seg_len - 1], 2) : h_prev[s - 1];
+      const __m128i eq = _mm_cmpeq_epi16(v_qcode[s], v_tc);
+      diag[s] = _mm_add_epi16(h_diag, blend16(v_mism, v_match, eq));
+      // H0 = max(diag, E, 0); G = H0 + i*ext; in-lane inclusive prefix max
+      const __m128i h0 =
+          _mm_max_epi16(_mm_max_epi16(diag[s], e_new[s]), v_zero);
+      h_new[s] = h0;  // F folded in below
+      const __m128i g = _mm_add_epi16(h0, v_idx_ext[s]);
+      pref[s] = s == 0 ? g : _mm_max_epi16(pref[s - 1], g);
+    }
+    // cross-lane exclusive carry of the G prefix (k = 0 virtual row -> 0)
+    alignas(16) int16_t totals[8], carries[8];
+    _mm_store_si128(reinterpret_cast<__m128i*>(totals), pref[seg_len - 1]);
+    int16_t running = 0;
+    for (int64_t l = 0; l < lanes; ++l) {
+      carries[l] = running;
+      running = std::max(running, totals[l]);
+    }
+    const __m128i v_carry =
+        _mm_load_si128(reinterpret_cast<const __m128i*>(carries));
+    // F, final H, remaining bitplanes, best tracking
+    const __m128i v_j = _mm_set1_epi16(static_cast<int16_t>(j));
+    for (int64_t s = 0; s < seg_len; ++s) {
+      const __m128i excl =
+          s == 0 ? v_carry : _mm_max_epi16(v_carry, pref[s - 1]);
+      const __m128i f_scan = _mm_sub_epi16(excl, v_open_decay[s]);
+      f_new[s] = _mm_max_epi16(f_scan, v_virtual[s]);
+      const __m128i h_final = _mm_max_epi16(h_new[s], f_new[s]);
+      // bits with the scalar's exact predicates
+      const __m128i best_de = _mm_max_epi16(diag[s], e_new[s]);
+      const __m128i up_mask = _mm_cmpgt_epi16(f_new[s], best_de);
+      const __m128i left_mask = _mm_andnot_si128(
+          up_mask, _mm_cmpgt_epi16(e_new[s], diag[s]));
+      planes.up[col + s] = mask8(up_mask);
+      planes.left[col + s] = mask8(left_mask);
+      planes.none[col + s] = mask8(_mm_cmpeq_epi16(h_final, v_zero));
+      h_new[s] = h_final;
+      const __m128i better = _mm_cmpgt_epi16(h_final, v_best[s]);
+      v_best[s] = _mm_max_epi16(v_best[s], h_final);
+      v_best_j[s] = blend16(v_best_j[s], v_j, better);
+    }
+    // f_ext bits: (F(i-1,j) - ext) > (H(i-1,j) - open), row 0 -> zeros
+    for (int64_t s = 0; s < seg_len; ++s) {
+      const __m128i f_up =
+          s == 0 ? _mm_slli_si128(f_new[seg_len - 1], 2) : f_new[s - 1];
+      const __m128i h_up =
+          s == 0 ? _mm_slli_si128(h_new[seg_len - 1], 2) : h_new[s - 1];
+      planes.f_ext[col + s] = mask8(_mm_cmpgt_epi16(
+          _mm_sub_epi16(f_up, v_gap_ext), _mm_sub_epi16(h_up, v_gap_open)));
+    }
+    h_prev.swap(h_new);
+    e_prev.swap(e_new);
+  }
+
+  // best cell: minimal (i, j) among maxima — scan per-element bests in
+  // query-major order (the scalar's first-strict-improvement order)
+  std::vector<int16_t> best_scores(8 * seg_len), best_js(8 * seg_len);
+  for (int64_t s = 0; s < seg_len; ++s) {
+    alignas(16) int16_t b[8], bj[8];
+    _mm_store_si128(reinterpret_cast<__m128i*>(b), v_best[s]);
+    _mm_store_si128(reinterpret_cast<__m128i*>(bj), v_best_j[s]);
+    for (int64_t l = 0; l < lanes; ++l) {
+      best_scores[l * seg_len + s] = b[l];
+      best_js[l * seg_len + s] = bj[l];
+    }
+  }
+  int32_t best = 0;
+  int64_t best_i = -1, best_j = -1;
+  for (int64_t q = 0; q < m; ++q) {
+    if (best_scores[q] > best) {
+      best = best_scores[q];
+      best_i = q + 1;
+      best_j = best_js[q];
+    }
+  }
+  result.best_score = best;
+  if (best <= 0) return result;
+
+  // traceback: replay the scalar walk over the bitplanes
+  std::string ops;
+  int64_t i = best_i, j = best_j;
+  result.ref_end = best_j - 1;
+  result.query_end = best_i - 1;
+  while (i > 0 && j > 0) {
+    if (planes.bit(planes.none, i, j)) break;
+    if (planes.bit(planes.up, i, j)) {
+      while (i > 0 && planes.bit(planes.f_ext, i, j)) {
+        ops.push_back('I');
+        --i;
+      }
+      if (i > 0) {
+        ops.push_back('I');
+        --i;
+      }
+    } else if (planes.bit(planes.left, i, j)) {
+      while (j > 0 && planes.bit(planes.e_ext, i, j)) {
+        ops.push_back('D');
+        --j;
+      }
+      if (j > 0) {
+        ops.push_back('D');
+        --j;
+      }
+    } else {
+      ops.push_back(query[i - 1] == target[j - 1] ? '=' : 'X');
+      --i;
+      --j;
+    }
+  }
+  result.ref_begin = j;
+  result.query_begin = i;
+  result.cigar = build_cigar(ops, result.query_begin, result.query_end, m);
   return result;
+}
+
+}  // namespace
+
+#endif  // __SSE2__
+
+AlignmentResult smith_waterman(const std::string& target,
+                               const std::string& query, int match_score,
+                               int mismatch_penalty, int gap_open_penalty,
+                               int gap_extend_penalty) {
+#ifdef __SSE2__
+  const int64_t n = static_cast<int64_t>(target.size());
+  const int64_t m = static_cast<int64_t>(query.size());
+  const int64_t max_h =
+      static_cast<int64_t>(match_score) * std::min(m, n);
+  if (m > 0 && n > 0 && gap_open_penalty >= gap_extend_penalty &&
+      max_h + gap_extend_penalty * m <= 30000 &&
+      gap_extend_penalty * n + gap_open_penalty <= 30000 &&
+      max_h <= 30000) {
+    return smith_waterman_striped(target, query, match_score,
+                                  mismatch_penalty, gap_open_penalty,
+                                  gap_extend_penalty);
+  }
+#endif
+  return smith_waterman_scalar(target, query, match_score, mismatch_penalty,
+                               gap_open_penalty, gap_extend_penalty);
 }

@@ -16,7 +16,16 @@ struct AlignmentResult {
   std::string cigar;                         // e.g. "2S10=1X3I8=" (query)
 };
 
+// Auto-dispatch: striped SSE2 engine when in range (bit-identical to the
+// scalar engine), scalar DP otherwise.
 AlignmentResult smith_waterman(const std::string& target,
                                const std::string& query, int match_score,
                                int mismatch_penalty, int gap_open_penalty,
                                int gap_extend_penalty);
+
+// The scalar golden engine (always available; used for parity fuzzing).
+AlignmentResult smith_waterman_scalar(const std::string& target,
+                                      const std::string& query,
+                                      int match_score, int mismatch_penalty,
+                                      int gap_open_penalty,
+                                      int gap_extend_penalty);

@@ -91,6 +91,13 @@ void* pepper_align(const char* target, const char* query, int match_score,
                                             gap_ext));
 }
 
+void* pepper_align_scalar(const char* target, const char* query,
+                          int match_score, int mismatch_penalty,
+                          int gap_open, int gap_ext) {
+  return new AlignmentResult(smith_waterman_scalar(
+      target, query, match_score, mismatch_penalty, gap_open, gap_ext));
+}
+
 void pepper_align_free(void* a) { delete static_cast<AlignmentResult*>(a); }
 
 int pepper_align_score(void* a) {

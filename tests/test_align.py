@@ -89,3 +89,108 @@ def test_stitch_v2_gap_concatenates():
     contig, start, end, seq = alignment_stitch([
         ("c", 0, 100, ref[0:100]), ("c", 150, 300, ref[150:300])])
     assert seq == ref[0:100] + ref[150:300]
+
+
+def test_striped_engine_matches_scalar_fuzz():
+    """The SSE2 striped engine must be bit-identical to the scalar golden
+    DP (score, begin/end coordinates, full CIGAR) over random and
+    edit-derived sequence pairs across scoring schemes."""
+    import ctypes
+
+    import numpy as np
+
+    from pepper_tpu.io.align import _configure
+    from pepper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    _configure(lib)
+    lib.pepper_align_scalar.restype = ctypes.c_void_p
+    lib.pepper_align_scalar.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+
+    def run(fn, target, query, scoring):
+        handle = fn(target.encode(), query.encode(), *scoring)
+        try:
+            return (lib.pepper_align_score(handle),
+                    lib.pepper_align_ref_begin(handle),
+                    lib.pepper_align_ref_end(handle),
+                    lib.pepper_align_query_begin(handle),
+                    lib.pepper_align_query_end(handle),
+                    lib.pepper_align_cigar(handle).decode())
+        finally:
+            lib.pepper_align_free(handle)
+
+    rng = np.random.RandomState(12)
+    bases = np.array(list("ACGT"))
+    for trial in range(800):
+        n = int(rng.randint(1, 150))
+        m = int(rng.randint(1, 150))
+        target = "".join(bases[rng.randint(0, 4, n)])
+        if rng.rand() < 0.5:
+            start = rng.randint(0, n)
+            query = list(target[start:start + m])
+            for _ in range(rng.randint(0, 8)):
+                if not query:
+                    break
+                k = rng.randint(0, len(query))
+                op = rng.randint(3)
+                if op == 0:
+                    query[k] = bases[rng.randint(4)]
+                elif op == 1:
+                    query.insert(k, bases[rng.randint(4)])
+                else:
+                    query.pop(k)
+            query = "".join(query) or "A"
+        else:
+            query = "".join(bases[rng.randint(0, 4, m)])
+        scoring = [(4, 6, 8, 2), (2, 4, 4, 2), (10, 3, 8, 6),
+                   (1, 1, 2, 1)][trial % 4]
+        striped = run(lib.pepper_align, target, query, scoring)
+        scalar = run(lib.pepper_align_scalar, target, query, scoring)
+        assert striped == scalar, (trial, scoring, target, query)
+
+
+def test_striped_engine_long_reads():
+    """Polish-scale parity: 1 kb reads with 5% edits against a 1,040 bp
+    window — the realignment hot shape."""
+    import ctypes
+
+    import numpy as np
+
+    from pepper_tpu.io.align import _configure
+    from pepper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    _configure(lib)
+    lib.pepper_align_scalar.restype = ctypes.c_void_p
+    lib.pepper_align_scalar.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+
+    def run(fn, target, query):
+        handle = fn(target.encode(), query.encode(), 4, 6, 8, 2)
+        try:
+            return (lib.pepper_align_score(handle),
+                    lib.pepper_align_ref_begin(handle),
+                    lib.pepper_align_cigar(handle).decode())
+        finally:
+            lib.pepper_align_free(handle)
+
+    rng = np.random.RandomState(3)
+    bases = np.array(list("ACGT"))
+    for _ in range(10):
+        target = "".join(bases[rng.randint(0, 4, 1040)])
+        query = list(target[rng.randint(0, 40):][:1000])
+        for _ in range(50):
+            k = rng.randint(0, len(query))
+            op = rng.randint(3)
+            if op == 0:
+                query[k] = bases[rng.randint(4)]
+            elif op == 1:
+                query.insert(k, bases[rng.randint(4)])
+            else:
+                query.pop(k)
+        query = "".join(query)
+        assert run(lib.pepper_align, target, query) == \
+            run(lib.pepper_align_scalar, target, query)
