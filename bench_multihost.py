@@ -1,0 +1,139 @@
+"""Multi-host scaling bench: `call_variant_sharded`'s interval phase
+(window generation -> dry prediction -> per-host HDF5 shard) at 1/2/4
+simulated hosts over a local jax.distributed rendezvous on the CPU mesh.
+
+Measures aggregate candidate-windows/s — the north-star scaling metric —
+with rank-0's decode/merge stage excluded (it runs once regardless of host
+count).  Each simulated host is one process with threads=1, so scaling is
+near-linear up to the machine's physical cores and the printed table notes
+the core count.
+
+  python bench_multihost.py [genome_mb] [hosts_csv]      # driver
+  python bench_multihost.py worker <coord> <n> <rank> <base>  # internal
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+_ROOT = os.path.abspath(os.path.dirname(__file__))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+
+def worker():
+    coordinator, num_processes, process_id, base, out_name = sys.argv[2:7]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=int(num_processes),
+                               process_id=int(process_id))
+
+    import pepper_tpu.pipeline.stages as stages
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.pipeline.call_variant import call_variant_sharded
+
+    stages.process_candidates = lambda *a, **k: None  # interval phase only
+
+    options = set_parameters(PepperOptions(
+        bam=os.path.join(base, "test", "reads.bam"),
+        fasta=os.path.join(base, "test", "ref.fa"),
+        output_dir=os.path.join(base, out_name),
+        threads=1, ont_r9_guppy5_sup=True, sub_command="call_variant",
+        dry=True, train_mode=True,
+        truth_vcf=os.path.join(base, "test", "truth.vcf"),
+        region_bed=os.path.join(base, "test", "conf.bed"),
+        random_draw_probability=1.0, region="chrA"))
+    start = time.perf_counter()
+    call_variant_sharded(options)
+    wall = time.perf_counter() - start
+    print(f"BENCH_WORKER {process_id} WALL {wall:.3f}")
+
+
+def count_windows(prediction_dir):
+    from pepper_tpu.io.datastore import PredictionStore
+
+    total = 0
+    for name in os.listdir(prediction_dir):
+        if not name.endswith(".hdf"):
+            continue
+        with PredictionStore(os.path.join(prediction_dir, name),
+                             "r") as store:
+            for batch in store.batch_names():
+                total += len(store.read_batch(batch))
+    return total
+
+
+def main():
+    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    hosts_list = [int(h) for h in
+                  (sys.argv[2] if len(sys.argv) > 2 else "1,2,4").split(",")]
+
+    from simulate import build_mixed_genome
+    from pepper_tpu.utils.profiling import StageTimer, log_line
+
+    base = tempfile.mkdtemp(prefix="pepper_mh_")
+    with StageTimer(f"SIMULATE {genome_mb} Mb GENOME"):
+        build_mixed_genome(base, "test", int(genome_mb * 1_000_000),
+                           int(genome_mb * 700), int(genome_mb * 1000), 77)
+
+    log_line(f"PHYSICAL CORES: {os.cpu_count()}")
+    rows = []
+    for run_id, n_hosts in enumerate(hosts_list):
+        coordinator = None
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            coordinator = f"127.0.0.1:{sock.getsockname()[1]}"
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.pathsep.join(
+                       [_ROOT, os.path.join(_ROOT, "tests")]
+                       + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "worker",
+             coordinator, str(n_hosts), str(rank), base,
+             f"out_{run_id}_{n_hosts}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for rank in range(n_hosts)]
+        walls = []
+        for proc in procs:
+            out, _ = proc.communicate(timeout=3600)
+            text = out.decode()
+            if proc.returncode != 0:
+                raise RuntimeError(text[-3000:])
+            for line in text.splitlines():
+                if line.startswith("BENCH_WORKER"):
+                    walls.append(float(line.split()[-1]))
+        wall = max(walls)
+        windows = count_windows(os.path.join(
+            base, f"out_{run_id}_{n_hosts}", "predictions"))
+        rate = windows / wall
+        rows.append((n_hosts, windows, wall, rate))
+        log_line(f"HOSTS={n_hosts}: {windows} windows, wall {wall:.1f}s, "
+                 f"{rate:,.0f} windows/s aggregate")
+
+    # best-of-repeats per host count (2-core VM timing is noisy)
+    best = {}
+    for h, w, t, r in rows:
+        if h not in best or r > best[h][3]:
+            best[h] = (h, w, t, r)
+    rows = [best[h] for h in sorted(best)]
+    base_rate = rows[0][3]
+    summary = [dict(hosts=h, windows=w, wall_s=round(t, 2),
+                    windows_per_s=round(r, 1),
+                    speedup=round(r / base_rate, 2))
+               for h, w, t, r in rows]
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker()
+    else:
+        main()
