@@ -180,10 +180,182 @@ def bench_vcf_only(n_sites: int, threads: int):
     shutil.rmtree(tmp)
 
 
+def bench_device(genome_mb: float, threads: int):
+    """Pileup-flow shootout on the current accelerator: host windows ->
+    runner vs the two fused single-dispatch flows (native-image and
+    event-stream Pallas histogram).  Rates follow the relay methodology:
+    every dispatch is a distinct execution (different region batch) and
+    the probability fetch is the timing barrier."""
+    import time
+
+    import numpy as np
+
+    import jax
+
+    from simulate import random_reference, simulate_reads
+    from pepper_tpu.io.bam_writer import write_bam, write_fasta
+    from pepper_tpu.io.bam import BamReader
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.infer.device_runner import DeviceRegionRunner
+    from pepper_tpu.infer.runner import InferenceRunner
+    from pepper_tpu.models.transducer import init_transducer_params
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.pipeline.call_variant import generate_windows
+    from pepper_tpu.pipeline.regions import build_intervals
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.utils.profiling import StageTimer, log_line
+
+    length = int(genome_mb * 1_000_000)
+    log_line(f"SIMULATING {genome_mb} Mb @ ~36x, {threads} THREADS, "
+             f"BACKEND {jax.default_backend()}")
+    ref = random_reference(length, seed=5)
+    alt = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    rng = np.random.RandomState(5)
+    positions = sorted(rng.choice(np.arange(500, length - 500, 700),
+                                  size=length // 1400, replace=False))
+    hap1 = [(int(p), ref[p], alt[ref[p]]) for p in positions]
+    hap2 = [v for i, v in enumerate(hap1) if i % 3 == 0]
+    records = simulate_reads(ref, [hap1, hap2], read_len=3000,
+                             strides=[170, 170])
+    tmp = tempfile.mkdtemp(prefix="pepper_devbench_")
+    bam = os.path.join(tmp, "r.bam")
+    fasta = os.path.join(tmp, "ref.fa")
+    write_bam(bam, [("chrB", length)], records)
+    write_fasta(fasta, {"chrB": ref})
+
+    def make_options(device):
+        return set_parameters(PepperOptions(
+            bam=bam, fasta=fasta, ont_r9_guppy5_sup=True,
+            sub_command="call_variant", region="chrB", threads=threads,
+            batch_size=4096, output_dir=tmp, device_pileup=device,
+            region_size=10000))
+
+    fasta_handler = FastaReader(fasta)
+    intervals, _ = build_intervals([("chrB", None)], fasta_handler, 10000)
+    params = init_transducer_params(jax.random.PRNGKey(0))
+
+    # ---- A: host windows + padded-batch runner ----
+    options = make_options(False)
+    with StageTimer("A: HOST WINDOW GENERATION", unit="windows") as timer:
+        windows = generate_windows(options, intervals, None, threads)
+        timer.add(len(windows))
+    runner = InferenceRunner(params, batch_size=4096,
+                             compute_dtype="bfloat16")
+    runner.predict(windows[:4096])  # compile
+    with StageTimer("A: RUNNER INFERENCE", unit="windows") as timer:
+        host_predictions = runner.predict(windows)
+        timer.add(len(windows))
+
+    # ---- B: native image -> fused device windows ----
+    options = make_options(True)
+    with StageTimer("B: REGION PACKAGE GENERATION", unit="windows") as t:
+        packages = generate_windows(options, intervals, None, threads)
+        n_windows = sum(len(p.windows) for p in packages)
+        t.add(n_windows)
+    device_runner = DeviceRegionRunner(params, compute_dtype="bfloat16",
+                                       region_batch=32)
+    device_runner.predict(packages[:32])  # compile
+    with StageTimer("B: FUSED IMAGE DISPATCH (32 regions/dispatch)",
+                    unit="windows") as timer:
+        device_predictions = device_runner.predict(packages)
+        timer.add(n_windows)
+    host_by_key = {(p.contig, p.position, tuple(p.candidates)): p
+                   for p in host_predictions}
+    agree = sum(
+        1 for p in device_predictions
+        if np.argmax(host_by_key[(p.contig, p.position,
+                                  tuple(p.candidates))].prediction_base)
+        == np.argmax(p.prediction_base))
+    log_line(f"B vs A argmax agreement: {agree}/{len(device_predictions)}")
+
+    # ---- C: event stream -> Pallas histogram fused flow ----
+    from pepper_tpu.ops.device_windows import (classify_regions_events,
+                                               descriptors_from_candidates)
+    from pepper_tpu.ops.pileup_ref import (RegionalSummary,
+                                           encode_reference_values)
+
+    bam_handler = BamReader(bam)
+    n_sample = min(64, len(intervals))
+    event_list, ref_channels, descriptor_list, region_sizes = [], [], [], []
+    k_events = 0
+    with StageTimer("C: PYTHON EVENT-STREAM GENERATION",
+                    unit="aligned-bases") as timer:
+        covered = 0
+        for contig, start, end in intervals[:n_sample]:
+            reads = bam_handler.get_reads(contig, start, end, False, 0, 0)
+            ref_seq = fasta_handler.get_reference_sequence(
+                contig, start, end + 1)
+            summary = RegionalSummary(contig, start, end, ref_seq,
+                                      matrix_backend="recorder")
+            summary.generate_max_insert_summary(reads)
+            holder = {}
+            summary.matrix_backend = \
+                lambda r, c, d, shape, holder=holder: (
+                    holder.__setitem__("events", (r, c, d))
+                    or np.zeros(shape, np.int64))
+            summary.generate_summary(
+                reads, min_snp_baseq=options.min_snp_baseq,
+                min_indel_baseq=options.min_indel_baseq,
+                snp_freq_threshold=options.snp_frequency,
+                insert_freq_threshold=options.insert_frequency,
+                delete_freq_threshold=options.delete_frequency,
+                min_coverage_threshold=options.min_coverage_threshold,
+                snp_candidate_freq_threshold=(
+                    options.snp_candidate_frequency_threshold),
+                indel_candidate_freq_threshold=(
+                    options.indel_candidate_frequency_threshold),
+                candidate_support_threshold=(
+                    options.candidate_support_threshold),
+                skip_indels=False, candidate_region_start=start,
+                candidate_region_end=end)
+            if "events" not in holder or not summary.descriptor_rows:
+                continue
+            event_list.append(holder["events"])
+            k_events += len(holder["events"][0])
+            n_ref = end - start + 1
+            values = np.asarray(encode_reference_values(ref_seq))
+            if summary.total_observed_insert_bases:
+                values = np.repeat(values,
+                                   1 + summary.max_observed_insert[:n_ref])
+            ref_channels.append(values)
+            descriptor_list.append(descriptors_from_candidates(
+                summary.descriptor_rows, summary))
+            region_sizes.append(summary.region_rows)
+            covered += sum(len(reads.read_seq(i))
+                           for i in range(reads.n_reads))
+        timer.add(covered)
+    n_windows_c = sum(len(d.base_index) for d in descriptor_list)
+    log_line(f"C: {len(event_list)} regions, {k_events:,} events, "
+             f"{n_windows_c} windows")
+    batch = min(8, len(event_list))
+    probs = classify_regions_events(  # compile
+        params, event_list[:batch], ref_channels[:batch],
+        descriptor_list[:batch], region_sizes[:batch])
+    float(np.asarray(probs).sum())
+    with StageTimer(f"C: FUSED EVENT DISPATCH ({batch} regions/dispatch)",
+                    unit="windows") as timer:
+        checksum = 0.0
+        for i in range(0, len(event_list) - batch + 1, batch):
+            probs = classify_regions_events(
+                params, event_list[i:i + batch],
+                ref_channels[i:i + batch], descriptor_list[i:i + batch],
+                region_sizes[i:i + batch])
+            checksum += float(np.asarray(probs).sum())  # host barrier
+        timer.add(sum(len(d.base_index)
+                      for d in descriptor_list[:len(event_list)
+                                               // batch * batch]))
+    log_line(f"EVENTS PER WINDOW: {k_events / max(1, n_windows_c):,.0f}; "
+             "see PERFORMANCE.md for the default justification")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "vcf":
         bench_vcf_only(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
                        int(sys.argv[3]) if len(sys.argv) > 3
                        else (os.cpu_count() or 4))
+    elif len(sys.argv) > 1 and sys.argv[1] == "device":
+        bench_device(float(sys.argv[2]) if len(sys.argv) > 2 else 5.0,
+                     int(sys.argv[3]) if len(sys.argv) > 3
+                     else (os.cpu_count() or 4))
     else:
         main()

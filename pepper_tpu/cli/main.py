@@ -68,6 +68,13 @@ def _add_inference_args(parser):
                         help="Serve int8-quantized weights.")
     parser.add_argument("--no_quantized", dest="quantized",
                         action="store_false")
+    parser.add_argument("--device_pileup", action="store_true",
+                        default=False,
+                        help="Fused device-window flow: gather + inject + "
+                             "classify candidate windows from the region "
+                             "image on the accelerator (one dispatch per "
+                             "region batch).")
+    parser.add_argument("--device_region_batch", type=int, default=32)
 
 
 def _add_candidate_args(parser):

@@ -42,6 +42,19 @@ class CandidateDescriptors:
     del_len: np.ndarray         # candidate length - 1 (0 for snp)
 
 
+@dataclass
+class RegionPackage:
+    """One region's fused-flow payload: window metadata (image=None) plus
+    the native int8 region image and injection descriptors.  Produced by
+    the summarizer under --device_pileup, consumed by
+    infer.device_runner.DeviceRegionRunner."""
+
+    windows: list
+    image: np.ndarray
+    region_rows: int
+    descriptors: "CandidateDescriptors"
+
+
 def descriptors_from_candidates(candidates, summary):
     """Build CandidateDescriptors from (position, candidate_string,
     allele_fwd, allele_rev) tuples + a RegionalSummary (for ref bases)."""
@@ -120,6 +133,10 @@ def extract_windows_device(image, descriptors, window_size=32):
         window = jnp.where(in_span & (cols == 18), depth_rev, window)
         span_flip = in_span & ((cols == star_fwd) | (cols == star_rev))
         window = jnp.where(span_flip, -window, window)
+        # int8 wrap: the host pipeline casts the region image to int8 and
+        # negates in int8, so -(-128) stays -128 (pileup_ref.py int8-cast
+        # note); emulate the wrap so device windows match bit-for-bit
+        window = ((window + 128) % 256) - 128
         return window
 
     windows = jax.vmap(one)(
@@ -137,6 +154,179 @@ def descriptors_to_tree(descriptors: CandidateDescriptors) -> dict:
                          "depth_fwd", "depth_rev", "flip_fwd_col",
                          "flip_rev_col", "star_fwd_col", "star_rev_col",
                          "del_len")}
+
+
+# ---------------- fused single-dispatch region flows ----------------
+#
+# Two production-shaped entries, both jitted end-to-end (ONE device
+# dispatch per batch of regions) over a strided layout: region r occupies
+# rows [r*stride + HALF, r*stride + HALF + n_rows_r) of the concatenated
+# image, so window gathers can never bleed across regions (the margins
+# are zero, matching the host's zero padding at region edges).
+#
+#   fused_images_classify:  host-native dense region images (int8) ->
+#       window extraction + injection -> classifier.  This is the
+#       practical fused path: the native C++ accumulator already builds
+#       the dense image at ~60M bases/s, so the device skips only the
+#       host per-window assembly.
+#   fused_events_classify:  raw event stream -> Pallas MXU histogram ->
+#       ref channel + clamp + extraction -> classifier.  The all-device
+#       variant (north-star §2.1); host prep is binning only.
+
+HALF = 16  # candidate_window_size // 2
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _fused_images_classify(params, images, descriptors,
+                           compute_dtype=jnp.float32):
+    from ..models.transducer import transducer_apply
+
+    windows = extract_windows_device(images.astype(jnp.int32), descriptors)
+    return transducer_apply(
+        jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params),
+        windows.astype(compute_dtype), train=False)
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "n_chunks", "total_rows",
+                                   "compute_dtype", "interpret"))
+def _fused_events_classify(params, rel_blocks, col_blocks, delta_blocks,
+                           ref_col, clamp_mask, descriptors, n_tiles,
+                           n_chunks, total_rows, compute_dtype=jnp.float32,
+                           interpret=False):
+    import jax.experimental.pallas as pl
+
+    from ..models.transducer import transducer_apply
+    from .pileup_kernel import (COL_PAD, TILE_R, _SUBCHUNKS, _SUBCHUNK_E,
+                                _histogram_kernel)
+
+    spec = pl.BlockSpec(
+        (1, _SUBCHUNKS, _SUBCHUNK_E),
+        lambda t, k, n_chunks=n_chunks: (t * n_chunks + k, 0, 0))
+    hist = pl.pallas_call(
+        _histogram_kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((TILE_R, COL_PAD), lambda t, k: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_R, COL_PAD),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rel_blocks, col_blocks, delta_blocks)
+    image = hist[:total_rows, :26].astype(jnp.int32)
+    image = image.at[:, 0].add(ref_col)
+    cs, ce = ImageOptions.CLAMP_COL_START, ImageOptions.CLAMP_COL_END
+    clamped = jnp.clip(image[:, cs:ce], ImageOptions.MIN_COLOR_VALUE,
+                       MAX_COLOR)
+    image = image.at[:, cs:ce].set(
+        jnp.where(clamp_mask[:, None], clamped, image[:, cs:ce]))
+    windows = extract_windows_device(image, descriptors)
+    return transducer_apply(
+        jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params),
+        windows.astype(compute_dtype), train=False)
+
+
+def pack_regions(region_sizes):
+    """Strided offsets for a batch of regions: returns (stride, offsets)
+    where region r's expanded row 0 lands at offsets[r] and windows stay
+    inside [r*stride, (r+1)*stride).  The stride is bucketed to a multiple
+    of 256 so same-sized batches share one compilation."""
+    region_rows_max = max(int(s) for s in region_sizes)
+    stride = -(-(region_rows_max + 2 * HALF) // 256) * 256
+    offsets = np.arange(len(region_sizes), dtype=np.int64) * stride + HALF
+    return stride, offsets
+
+
+def classify_regions_images(params, images, descriptor_list, region_sizes,
+                            compute_dtype=jnp.float32):
+    """Fused image flow over a batch of regions.
+
+    images: list of (n_rows_r, F) int8 host-native region images (already
+    clamped + int8-cast by generate_summary); descriptor_list: one
+    CandidateDescriptors per region (base_index region-local);
+    region_sizes: rows per region.  Returns (K_total, 3) probabilities in
+    region-major window order."""
+    stride, offsets = pack_regions(region_sizes)
+    n_regions = len(images)
+    F = images[0].shape[1]
+    stacked = np.zeros((n_regions * stride, F), np.int8)
+    for r, image in enumerate(images):
+        stacked[offsets[r]:offsets[r] + image.shape[0]] = image
+    merged, k_total = _merge_descriptors(descriptor_list, offsets)
+    return _fused_images_classify(params, stacked, merged,
+                                  compute_dtype=compute_dtype)[:k_total]
+
+
+def classify_regions_events(params, event_list, ref_channels,
+                            descriptor_list, region_sizes,
+                            compute_dtype=jnp.float32, interpret=None):
+    """Fused event flow over a batch of regions: events are shifted into
+    the strided layout, binned once, and the whole histogram -> windows ->
+    classifier graph runs as one dispatch.
+
+    event_list: per region (rows, cols, deltas); ref_channels: per region
+    expanded reference channel values; region_sizes: expanded rows per
+    region (region_size + 1, i.e. including the stop row)."""
+    import jax as _jax
+
+    from .pileup_kernel import CHUNK_E, _SUBCHUNKS, _SUBCHUNK_E, _bin_events
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    stride, offsets = pack_regions(region_sizes)
+    n_regions = len(event_list)
+    total_rows = n_regions * stride
+    rows = np.concatenate([np.asarray(e[0], np.int64) + offsets[r]
+                           for r, e in enumerate(event_list)])
+    cols = np.concatenate([np.asarray(e[1], np.int32)
+                           for e in event_list])
+    deltas = np.concatenate([np.asarray(e[2], np.int32)
+                             for e in event_list])
+    ref_col = np.zeros(total_rows, np.int32)
+    clamp_mask = np.zeros(total_rows, bool)
+    for r, channel in enumerate(ref_channels):
+        ref_col[offsets[r]:offsets[r] + len(channel)] = channel
+        # clamp covers expanded rows [0, region_size) = all but the stop row
+        clamp_mask[offsets[r]:offsets[r] + int(region_sizes[r]) - 1] = True
+    rel, binned_cols, binned_deltas, n_tiles, capacity = _bin_events(
+        rows.astype(np.int32), cols, deltas, total_rows,
+        round_capacity_pow2=True)
+    n_chunks = capacity // CHUNK_E
+
+    def to_blocks(a):
+        return a.reshape(n_tiles * n_chunks, _SUBCHUNKS, _SUBCHUNK_E)
+
+    merged, k_total = _merge_descriptors(descriptor_list, offsets)
+    probs = _fused_events_classify(
+        params, to_blocks(rel), to_blocks(binned_cols),
+        to_blocks(binned_deltas), ref_col, clamp_mask, merged,
+        n_tiles=n_tiles, n_chunks=n_chunks, total_rows=total_rows,
+        compute_dtype=compute_dtype, interpret=interpret)
+    return probs[:k_total]
+
+
+def _merge_descriptors(descriptor_list, offsets, pad_to: int = 128):
+    """Concatenate per-region descriptors with base offsets applied;
+    windows are padded to a multiple of `pad_to` (snp-shaped dummies) so
+    repeated dispatches share a compilation.  Returns (tree, k_total)."""
+    merged = {}
+    names = ("base_index", "type_digit", "type_value", "depth_fwd",
+             "depth_rev", "flip_fwd_col", "flip_rev_col", "star_fwd_col",
+             "star_rev_col", "del_len")
+    k_total = sum(len(np.asarray(d.base_index)) for d in descriptor_list)
+    k_padded = max(pad_to, -(-k_total // pad_to) * pad_to)
+    for name in names:
+        parts = []
+        for r, descriptors in enumerate(descriptor_list):
+            values = np.asarray(getattr(descriptors, name), np.int32)
+            if name == "base_index":
+                values = values + np.int32(offsets[r])
+            parts.append(values)
+        column = np.zeros(k_padded, np.int32)
+        if name == "type_digit":
+            column[k_total:] = 1
+        if parts:
+            column[:k_total] = np.concatenate(parts)
+        merged[name] = jnp.asarray(column)
+    return merged, k_total
 
 
 def classify_region_device(params, rows, cols, deltas, ref_values,

@@ -53,10 +53,13 @@ def accumulate_jax(rows, cols, deltas, shape):
         .astype(np.int64)
 
 
-def _bin_events(rows, cols, deltas, n_rows):
+def _bin_events(rows, cols, deltas, n_rows, round_capacity_pow2=False):
     """Sort events by row and bin into TILE_R tiles padded to a common
     capacity (multiple of CHUNK_E). Returns (rel_rows, cols, deltas) each
-    shaped (n_tiles, capacity) with sentinel rel_row = -1."""
+    shaped (n_tiles, capacity) with sentinel rel_row = -1.
+
+    round_capacity_pow2 buckets the capacity to a power-of-two multiple of
+    CHUNK_E so repeated fused dispatches share a compilation."""
     n_tiles = max(1, -(-n_rows // TILE_R))
     order = np.argsort(rows, kind="stable")
     rows = rows[order]
@@ -65,6 +68,9 @@ def _bin_events(rows, cols, deltas, n_rows):
     tile_of = rows // TILE_R
     counts = np.bincount(tile_of, minlength=n_tiles)
     capacity = max(CHUNK_E, int(-(-counts.max() // CHUNK_E) * CHUNK_E))
+    if round_capacity_pow2:
+        chunks = capacity // CHUNK_E
+        capacity = CHUNK_E * (1 << (chunks - 1).bit_length())
 
     rel = np.full((n_tiles, capacity), -1, np.int32)
     out_cols = np.zeros((n_tiles, capacity), np.int32)

@@ -467,9 +467,15 @@ class RegionalSummary:
                          candidate_window_size: int = 32,
                          feature_size: int = 26,
                          train_mode: bool = False,
+                         build_window_images: bool = True,
                          ) -> list[CandidateWindow]:
         """Accumulate the region image and emit per-candidate windows
-        (region_summary.cpp:568-916)."""
+        (region_summary.cpp:568-916).
+
+        build_window_images=False skips the per-window image assembly
+        (windows carry image=None) for the fused device-window flow, which
+        gathers + injects windows from self.image_int8 on the accelerator
+        (ops/device_windows.py) using self.descriptor_rows."""
         n_ref = self.ref_end - self.ref_start + 1
         region_size = n_ref + self.total_observed_insert_bases
 
@@ -563,6 +569,10 @@ class RegionalSummary:
         # pre-clamped to +-125, and negation commutes with the cast
         # including the -128 fixed point)
         image = image.astype(np.int8)
+        # exposed for the fused device-window flow (ops/device_windows.py):
+        # ship this image to HBM and gather/inject windows on-device
+        self.image_int8 = image
+        self.region_rows = region_size + 1
 
         self.labels = np.zeros(region_size + 1, np.uint16)
         self.labels_variant_type = np.zeros(region_size + 1, np.uint16)
@@ -589,6 +599,11 @@ class RegionalSummary:
                     for c in sorted(allele_map[region_index].keys())]
 
         windows: list[CandidateWindow] = []
+        # (position, candidate, depth_fwd, depth_rev) per emitted window —
+        # the descriptors_from_candidates feed for the fused device path
+        # (ops/device_windows.py); collected unconditionally (a few rows
+        # per region)
+        self.descriptor_rows = []
         half = candidate_window_size // 2
         # int8 scalar negation hits the -128 fixed point on deep pileups;
         # the wrap is the intended (reference astype) semantics — silence
@@ -633,6 +648,17 @@ class RegionalSummary:
                                   else 1 if (found_h1 or found_h2) else 0)
                     base_label = int(self.labels[base_index])
 
+                if not build_window_images:
+                    self.descriptor_rows.append((pos, candidate, depth_fwd,
+                                                 depth_rev))
+                    windows.append(CandidateWindow(
+                        contig=self.contig, position=pos, depth=depth,
+                        candidates=[candidate],
+                        candidate_frequency=[
+                            min(allele_depth, MAX_COLOR)],
+                        image=None, base_label=base_label,
+                        type_label=type_label))
+                    continue
                 window = np.zeros((candidate_window_size + 1, feature_size),
                                   np.int8)
                 lo = base_index - half
@@ -679,6 +705,8 @@ class RegionalSummary:
                         window[idx, star_fwd] = -window[idx, star_fwd]
                         window[idx, star_rev] = -window[idx, star_rev]
 
+                self.descriptor_rows.append((pos, candidate, depth_fwd,
+                                             depth_rev))
                 windows.append(CandidateWindow(
                     contig=self.contig, position=pos, depth=depth,
                     candidates=[candidate],

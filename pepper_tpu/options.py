@@ -145,8 +145,15 @@ class PepperOptions:
     batch_size: int = 512
     num_workers: int = 0
     dry: bool = False
+    # library default float32 (bit-stable tests); the CLI's argparse
+    # default (bfloat16, cli/main.py) overrides it for production serving
+    compute_dtype: str = "float32"
     quantized: bool = False
     model_type: str = "lstm"   # window-classifier family (models/registry.py)
+    # fused device-window flow: ship native int8 region images to HBM and
+    # gather/inject/classify windows in one dispatch (ops/device_windows.py)
+    device_pileup: bool = False
+    device_region_batch: int = 32
 
     # candidate finding
     allowed_multiallelics: int | None = None

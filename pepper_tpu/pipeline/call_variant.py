@@ -86,6 +86,10 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     process_index = jax.process_index()
     process_count = jax.process_count()
 
+    # the sharded path persists per-window predictions to HDF5 between
+    # hosts; the fused device-window flow is single-host only
+    options.device_pileup = False
+
     os.makedirs(options.output_dir, exist_ok=True)
     manifest_dir = manifest_dir or os.path.join(options.output_dir,
                                                 "manifest")
@@ -142,12 +146,25 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
 def _make_predict_fn(options, params):
     if options.dry:
         return fake_predict
+    if getattr(options, "device_pileup", False) and not options.use_hp_info:
+        # fused device-window flow: the summarizer emits RegionPackages
+        # (native int8 region image + injection descriptors) and window
+        # gather + injection + classification run as one dispatch per
+        # region batch (ops/device_windows.py)
+        from ..infer.device_runner import DeviceRegionRunner
+
+        runner = DeviceRegionRunner(
+            params, compute_dtype=getattr(options, "compute_dtype",
+                                          "float32"),
+            region_batch=getattr(options, "device_region_batch", 32))
+        return runner.predict
     from ..options import ImageOptions, ImageOptionsHP
 
     size_options = (ImageOptionsHP if options.use_hp_info
                     else ImageOptions)
     runner = InferenceRunner(
         params, batch_size=options.batch_size,
+        compute_dtype=getattr(options, "compute_dtype", "float32"),
         window=size_options.CANDIDATE_WINDOW_SIZE + 1,
         features=size_options.IMAGE_HEIGHT,
         quantized=options.quantized, model_type=options.model_type)
@@ -169,13 +186,24 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
         predictions.extend
     total_windows = 0
     pending = []
+    # device-pileup streams RegionPackages (one per region), so the drain
+    # unit is a region batch rather than a window batch
+    device_mode = (getattr(options, "device_pileup", False)
+                   and not options.dry and not options.use_hp_info)
+    chunk_size = (getattr(options, "device_region_batch", 32)
+                  if device_mode else options.batch_size)
 
     def drain(final=False):
         nonlocal pending
-        while len(pending) >= options.batch_size or (final and pending):
-            chunk = pending[:options.batch_size]
-            pending = pending[options.batch_size:]
+        while len(pending) >= chunk_size or (final and pending):
+            chunk = pending[:chunk_size]
+            pending = pending[chunk_size:]
             sink(predict_fn(chunk))
+
+    def count_windows(items):
+        if device_mode:  # RegionPackage stream
+            return sum(len(package.windows) for package in items)
+        return len(items)
 
     if options.threads <= 1 or len(intervals) <= 1:
         bam_handler = BamReader(options.bam)
@@ -185,7 +213,7 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
                                             fasta_handler, contig, start,
                                             end, bed_list)
             if windows:
-                total_windows += len(windows)
+                total_windows += count_windows(windows)
                 pending.extend(windows)
                 drain()
     else:
@@ -202,7 +230,7 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
             for future in concurrent.futures.as_completed(futures):
                 windows = future.result()
                 if windows:
-                    total_windows += len(windows)
+                    total_windows += count_windows(windows)
                     pending.extend(windows)
                     drain()
         finally:

@@ -84,7 +84,13 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
         summary.generate_max_insert_summary(all_reads)
         if truth is not None:
             summary.generate_labels(*truth)
-        return summary.generate_summary(
+        device_pileup = (getattr(options, "device_pileup", False)
+                         and not options.train_mode
+                         and not options.use_hp_info
+                         and not getattr(options, "dry", False))
+        extra = {} if options.use_hp_info else {
+            "build_window_images": not device_pileup}
+        windows = summary.generate_summary(
             all_reads,
             min_snp_baseq=options.min_snp_baseq,
             min_indel_baseq=options.min_indel_baseq,
@@ -102,7 +108,18 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
             candidate_region_end=candidate_end,
             candidate_window_size=window_size,
             feature_size=feature_size,
-            train_mode=options.train_mode)
+            train_mode=options.train_mode,
+            **extra)
+        if device_pileup and windows:
+            from ..ops.device_windows import (RegionPackage,
+                                              descriptors_from_candidates)
+
+            return [RegionPackage(
+                windows=windows, image=summary.image_int8,
+                region_rows=summary.region_rows,
+                descriptors=descriptors_from_candidates(
+                    summary.descriptor_rows, summary))]
+        return windows
 
     if not options.train_mode:
         region_start = max(0, region_start_position - halo)
