@@ -3,6 +3,10 @@
 #include <algorithm>
 #include <cstring>
 
+#ifdef __SSSE3__
+#include <tmmintrin.h>
+#endif
+
 namespace {
 
 inline uint16_t rd_u16(const uint8_t* p) {
@@ -22,6 +26,39 @@ inline int32_t rd_i32(const uint8_t* p) {
 }
 
 constexpr char kSeqNt16Str[] = "=ACMGRSVTWYHKDBN";
+
+// Decode n packed 4-bit BAM bases starting at read index ri into dst
+// (high nibble first, htslib layout).  SSSE3 path: unpack 8 source bytes
+// to 16 interleaved nibbles and map through a pshufb LUT.
+inline void decode_seq_span(char* dst, const uint8_t* seqi, int64_t ri,
+                            int64_t n) {
+  int64_t written = 0;
+#ifdef __SSSE3__
+  if (ri & 1) {  // align to an even base index (byte boundary)
+    const uint8_t code = (seqi[ri >> 1] >> ((~ri & 1) << 2)) & 0xf;
+    dst[written++] = kSeqNt16Str[code];
+    ++ri;
+  }
+  const __m128i lut = _mm_loadu_si128(
+      reinterpret_cast<const __m128i*>(kSeqNt16Str));
+  const __m128i low_mask = _mm_set1_epi8(0x0f);
+  while (written + 16 <= n) {
+    const __m128i packed = _mm_loadl_epi64(
+        reinterpret_cast<const __m128i*>(seqi + (ri >> 1)));
+    const __m128i hi = _mm_and_si128(_mm_srli_epi16(packed, 4), low_mask);
+    const __m128i lo = _mm_and_si128(packed, low_mask);
+    const __m128i codes = _mm_unpacklo_epi8(hi, lo);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + written),
+                     _mm_shuffle_epi8(lut, codes));
+    written += 16;
+    ri += 16;
+  }
+#endif
+  for (; written < n; ++written, ++ri) {
+    const uint8_t code = (seqi[ri >> 1] >> ((~ri & 1) << 2)) & 0xf;
+    dst[written] = kSeqNt16Str[code];
+  }
+}
 
 // BAM flags
 constexpr int FLAG_UNMAPPED = 0x4;
@@ -438,24 +475,25 @@ std::unique_ptr<ReadBatch> BamReader::get_reads(const std::string& chrom,
               current_read_index += idx;
               current_read_pos += idx;
             }
-            for (int64_t i = idx; i < cigar_len; ++i) {
-              if (current_read_pos <= stop) {
-                if (pos_start == -1) {
-                  pos_start = current_read_pos;
-                  pos_end = pos_start;
-                }
-                batch->qual.push_back(quali[current_read_index]);
-                const uint8_t code =
-                    (seqi[current_read_index >> 1] >>
-                     ((~current_read_index & 1) << 2)) & 0xf;
-                batch->seq.push_back(kSeqNt16Str[code]);
-                ++modified;
-                ++pos_end;
-              } else {
-                break;
+            // whole in-region span at once: memcpy quals, bulk-decode seq
+            const int64_t span = std::min(cigar_len - idx,
+                                          stop - current_read_pos + 1);
+            if (span > 0) {
+              if (pos_start == -1) {
+                pos_start = current_read_pos;
+                pos_end = pos_start;
               }
-              ++current_read_index;
-              ++current_read_pos;
+              batch->qual.insert(batch->qual.end(),
+                                 quali + current_read_index,
+                                 quali + current_read_index + span);
+              const size_t out = batch->seq.size();
+              batch->seq.resize(out + span);
+              decode_seq_span(batch->seq.data() + out, seqi,
+                              current_read_index, span);
+              modified = span;
+              pos_end += span;
+              current_read_index += span;
+              current_read_pos += span;
             }
             if (modified > 0) {
               batch->cigar_ops.push_back(op);
@@ -467,15 +505,15 @@ std::unique_ptr<ReadBatch> BamReader::get_reads(const std::string& chrom,
           case CIGAR_INS: {
             if (current_read_pos >= start && current_read_pos <= stop &&
                 pos_start != -1) {
-              for (int64_t i = 0; i < cigar_len; ++i) {
-                batch->qual.push_back(quali[current_read_index]);
-                const uint8_t code =
-                    (seqi[current_read_index >> 1] >>
-                     ((~current_read_index & 1) << 2)) & 0xf;
-                batch->seq.push_back(kSeqNt16Str[code]);
-                ++modified;
-                ++current_read_index;
-              }
+              batch->qual.insert(batch->qual.end(),
+                                 quali + current_read_index,
+                                 quali + current_read_index + cigar_len);
+              const size_t out = batch->seq.size();
+              batch->seq.resize(out + cigar_len);
+              decode_seq_span(batch->seq.data() + out, seqi,
+                              current_read_index, cigar_len);
+              modified = cigar_len;
+              current_read_index += cigar_len;
             } else {
               current_read_index += cigar_len;
             }

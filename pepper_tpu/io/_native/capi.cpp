@@ -176,11 +176,11 @@ long long pepper_pileup_strs_size(void* p) {
     return static_cast<PileupResult*>(p)->member.data();    \
   }
 
-PILEUP_FIELD(image, int64_t, image)
-PILEUP_FIELD(coverage, int64_t, coverage)
-PILEUP_FIELD(snp_count, int64_t, snp_count)
-PILEUP_FIELD(insert_count, int64_t, insert_count)
-PILEUP_FIELD(delete_count, int64_t, delete_count)
+PILEUP_FIELD(image, int32_t, image)
+PILEUP_FIELD(coverage, int32_t, coverage)
+PILEUP_FIELD(snp_count, int32_t, snp_count)
+PILEUP_FIELD(insert_count, int32_t, insert_count)
+PILEUP_FIELD(delete_count, int32_t, delete_count)
 PILEUP_FIELD(allele_pos, int64_t, allele_pos)
 PILEUP_FIELD(allele_total, int32_t, allele_total)
 PILEUP_FIELD(allele_fwd, int32_t, allele_fwd)

@@ -4,7 +4,40 @@
 #include <cctype>
 #include <cmath>
 
+#ifdef __SSE2__
+#include <emmintrin.h>
+#endif
+
 namespace {
+
+// Length of the leading run where base==ref AND qual>=minq (byte-equality
+// like the scalar walk; SSE2 16-lane compare + movemask).
+inline int64_t good_run_length(const char* seq, const char* ref,
+                               const uint8_t* qual, int minq, int64_t maxn) {
+  int64_t n = 0;
+#ifdef __SSE2__
+  const __m128i v_thr = _mm_set1_epi8(static_cast<char>(
+      static_cast<unsigned char>(minq)));
+  while (n + 16 <= maxn) {
+    const __m128i v_seq = _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(seq + n));
+    const __m128i v_ref = _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(ref + n));
+    const __m128i v_q = _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(qual + n));
+    const __m128i eq = _mm_cmpeq_epi8(v_seq, v_ref);
+    const __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(v_q, v_thr), v_q);
+    const int mask = _mm_movemask_epi8(_mm_and_si128(eq, ge));
+    if (mask != 0xFFFF)
+      return n + __builtin_ctz(~mask & 0xFFFF);
+    n += 16;
+  }
+#endif
+  while (n < maxn && seq[n] == ref[n] &&
+         qual[n] >= static_cast<uint8_t>(minq))
+    ++n;
+  return n;
+}
 
 // 256-entry tables replace per-base toupper/switch calls in the hot loop.
 struct BaseTables {
@@ -81,10 +114,30 @@ struct Accumulator {
   double min_snp_baseq, min_indel_baseq;
   int hp_mode;
 
-  void image_add(int64_t row, int col, int64_t delta) {
+  void image_add(int64_t row, int col, int32_t delta) {
     out->image[row * out->features + col] += delta;
   }
 };
+
+// Branchless matching-base observation write for the non-HP run fast
+// path: col = feature_index(rb, rb, strand) for ACGT refs (clamped to a
+// real column otherwise) and delta 0 suppresses the write for non-ACGT
+// refs — one L1 table lookup instead of validity branches.
+struct MatchTables {
+  int col_fwd[256];
+  int col_rev[256];
+  int32_t delta[256];
+  constexpr MatchTables() : col_fwd(), col_rev(), delta() {
+    for (int i = 0; i < 256; ++i) {
+      const bool valid = kBase.valid_ref[i];
+      col_fwd[i] = 7 + (valid ? kBase.offset[i] : 0);
+      col_rev[i] = 18 + (valid ? kBase.offset[i] : 0);
+      delta[i] = valid ? 1 : 0;
+    }
+  }
+};
+
+constexpr MatchTables kMatch;
 
 inline void bump_tally(AlleleTally& tally, bool is_reverse, int hp_tag,
                        int hp_mode) {
@@ -184,54 +237,103 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
         const int64_t lim =
             std::min(length, start_i + std::max<int64_t>(
                                  0, ref_end - ref_position + 1));
-        for (int64_t i = start_i; i < lim; ++i) {
+        // exact per-base walk (all cases); the non-HP fast path below
+        // routes only exceptional bases (mismatch / low-qual / protected
+        // anchor) through it
+        auto process_match_base = [&](int64_t i) {
           const int base_quality = qual[read_index];
-          {
-            const char base = seq[read_index];
-            const char ref_base = ref[ref_position - ref_start];
-            const int64_t region_index = ref_position - ref_start;
-            const int64_t base_index = region_index;  // no insert expansion
-            if (base_quality >= min_snp_q) {
-              acc.out->coverage[region_index] += 1;
-              if (!hp) {
-                // anchor quirk: last base of a non-final M op whose next
-                // op is INS/DEL skips the coverage-row decrement
-                bool draw = true;
-                if (i == length - 1 && ci != n_ops - 1) {
-                  const uint8_t next_op = batch.cigar_ops[cigar_start + ci + 1];
-                  if (next_op == CIGAR_INS || next_op == CIGAR_DEL)
-                    draw = false;
-                }
-                if (draw) acc.image_add(base_index, is_reverse ? 15 : 4, -1);
-              } else {
-                if (in_hp1) acc.image_add(base_index, is_reverse ? 15 : 4, -1);
-                if (in_hp2)
-                  acc.image_add(base_index, is_reverse ? 37 : 26, -1);
+          const char base = seq[read_index];
+          const char ref_base = ref[ref_position - ref_start];
+          const int64_t region_index = ref_position - ref_start;
+          const int64_t base_index = region_index;  // no insert expansion
+          if (base_quality >= min_snp_q) {
+            acc.out->coverage[region_index] += 1;
+            if (!hp) {
+              // anchor quirk: last base of a non-final M op whose next
+              // op is INS/DEL skips the coverage-row decrement
+              bool draw = true;
+              if (i == length - 1 && ci != n_ops - 1) {
+                const uint8_t next_op = batch.cigar_ops[cigar_start + ci + 1];
+                if (next_op == CIGAR_INS || next_op == CIGAR_DEL)
+                  draw = false;
               }
+              if (draw) acc.image_add(base_index, is_reverse ? 15 : 4, -1);
+            } else {
+              if (in_hp1) acc.image_add(base_index, is_reverse ? 15 : 4, -1);
+              if (in_hp2)
+                acc.image_add(base_index, is_reverse ? 37 : 26, -1);
             }
-            if (ref_base != base && base_quality >= min_snp_q) {
-              acc.out->snp_count[region_index] += 1;
-              if (!hp) {
-                const int fi = feature_index(ref_base, base, is_reverse);
+          }
+          if (ref_base != base && base_quality >= min_snp_q) {
+            acc.out->snp_count[region_index] += 1;
+            if (!hp) {
+              const int fi = feature_index(ref_base, base, is_reverse);
+              if (fi >= 0) acc.image_add(base_index, fi, -1);
+            }
+            // HP mode: mismatches are NOT drawn into observation rows
+            record_snp_allele(acc, region_index, base, is_reverse, hp_tag);
+          } else if (base_quality >= min_snp_q) {
+            if (!hp) {
+              const int fi = feature_index(ref_base, base, is_reverse);
+              if (fi >= 0) acc.image_add(base_index, fi, -1);
+            } else {
+              for (int b = 0; b < n_blocks; ++b) {
+                const int fi = feature_index_hp(ref_base, base, is_reverse,
+                                                hp_blocks[b]);
                 if (fi >= 0) acc.image_add(base_index, fi, -1);
-              }
-              // HP mode: mismatches are NOT drawn into observation rows
-              record_snp_allele(acc, region_index, base, is_reverse, hp_tag);
-            } else if (base_quality >= min_snp_q) {
-              if (!hp) {
-                const int fi = feature_index(ref_base, base, is_reverse);
-                if (fi >= 0) acc.image_add(base_index, fi, -1);
-              } else {
-                for (int b = 0; b < n_blocks; ++b) {
-                  const int fi = feature_index_hp(ref_base, base, is_reverse,
-                                                  hp_blocks[b]);
-                  if (fi >= 0) acc.image_add(base_index, fi, -1);
-                }
               }
             }
           }
-          read_index += 1;
-          ref_position += 1;
+        };
+        if (!hp) {
+          // run fast path: maximal runs of (base==ref && qual>=minq)
+          // bases do exactly three adds each — coverage, the strand
+          // coverage row, and the precomputed matching-observation cell
+          int64_t protect = -1;  // op-final anchor base (quirk above)
+          if (lim == length && ci != n_ops - 1) {
+            const uint8_t next_op = batch.cigar_ops[cigar_start + ci + 1];
+            if (next_op == CIGAR_INS || next_op == CIGAR_DEL)
+              protect = length - 1;
+          }
+          int32_t* image = acc.out->image.data();
+          int32_t* coverage = acc.out->coverage.data();
+          const int cov_col = is_reverse ? 15 : 4;
+          const int* col_tab = is_reverse ? kMatch.col_rev : kMatch.col_fwd;
+          int64_t i = start_i;
+          while (i < lim) {
+            const int64_t stop =
+                (protect >= i && protect < lim) ? protect : lim;
+            const int64_t run = good_run_length(
+                seq + read_index,
+                ref.data() + (ref_position - ref_start),
+                qual + read_index, min_snp_q, stop - i);
+            if (run > 0) {
+              const int64_t ri0 = ref_position - ref_start;
+              const char* run_ref = ref.data() + ri0;
+              int32_t* row = image + ri0 * 26;
+              for (int64_t k = 0; k < run; ++k, row += 26) {
+                const unsigned char ref_byte =
+                    static_cast<unsigned char>(run_ref[k]);
+                coverage[ri0 + k] += 1;
+                row[cov_col] -= 1;
+                row[col_tab[ref_byte]] -= kMatch.delta[ref_byte];
+              }
+              i += run;
+              read_index += run;
+              ref_position += run;
+              if (i >= lim) break;
+            }
+            process_match_base(i);
+            ++i;
+            ++read_index;
+            ++ref_position;
+          }
+        } else {
+          for (int64_t i = start_i; i < lim; ++i) {
+            process_match_base(i);
+            read_index += 1;
+            ref_position += 1;
+          }
         }
         read_index += length - lim;
         ref_position += length - lim;

@@ -25,8 +25,11 @@ struct AlleleTally {
 struct PileupResult {
   int64_t n_rows = 0;
   int features = 0;
-  std::vector<int64_t> image;            // row-major (n_rows x features)
-  std::vector<int64_t> coverage, snp_count, insert_count, delete_count;
+  // int32 keeps the hot accumulation working set (~10 MB per 100 kb
+  // region) at half the memory traffic; magnitudes are bounded by the
+  // per-region read cap so int32 never saturates
+  std::vector<int32_t> image;            // row-major (n_rows x features)
+  std::vector<int32_t> coverage, snp_count, insert_count, delete_count;
   // allele tallies sorted by (region_index, candidate string); columnar
   std::vector<int64_t> allele_pos;
   std::vector<int32_t> allele_total;

@@ -76,11 +76,11 @@ def get_lib() -> ctypes.CDLL:
     for name, restype in [
         ("n_rows", c.c_longlong), ("features", c.c_int),
         ("n_alleles", c.c_longlong), ("strs_size", c.c_longlong),
-        ("image", c.POINTER(c.c_int64)),
-        ("coverage", c.POINTER(c.c_int64)),
-        ("snp_count", c.POINTER(c.c_int64)),
-        ("insert_count", c.POINTER(c.c_int64)),
-        ("delete_count", c.POINTER(c.c_int64)),
+        ("image", c.POINTER(c.c_int32)),
+        ("coverage", c.POINTER(c.c_int32)),
+        ("snp_count", c.POINTER(c.c_int32)),
+        ("insert_count", c.POINTER(c.c_int32)),
+        ("delete_count", c.POINTER(c.c_int32)),
         ("allele_pos", c.POINTER(c.c_int64)),
         ("allele_total", c.POINTER(c.c_int32)),
         ("allele_fwd", c.POINTER(c.c_int32)),

@@ -98,7 +98,7 @@ def run_native_pileup(batch: ReadBatch, ref_seq: str, ref_start: int,
             return np.ctypeslib.as_array(
                 pointer, shape=(count,)).astype(dtype, copy=True)
 
-        image = arr("image", n_rows * features, np.int64, c.c_int64) \
+        image = arr("image", n_rows * features, np.int64, c.c_int32) \
             .reshape(n_rows, features)
         offsets = arr("allele_str_offsets", n_alleles + 1, np.int64,
                       c.c_int64)
@@ -108,10 +108,10 @@ def run_native_pileup(batch: ReadBatch, ref_seq: str, ref_start: int,
                 .tobytes() if strs_size else b"")
         return NativePileup(
             image=image,
-            coverage=arr("coverage", n_ref, np.int64, c.c_int64),
-            snp_count=arr("snp_count", n_ref, np.int64, c.c_int64),
-            insert_count=arr("insert_count", n_ref, np.int64, c.c_int64),
-            delete_count=arr("delete_count", n_ref, np.int64, c.c_int64),
+            coverage=arr("coverage", n_ref, np.int64, c.c_int32),
+            snp_count=arr("snp_count", n_ref, np.int64, c.c_int32),
+            insert_count=arr("insert_count", n_ref, np.int64, c.c_int32),
+            delete_count=arr("delete_count", n_ref, np.int64, c.c_int32),
             allele_pos=arr("allele_pos", n_alleles, np.int64, c.c_int64),
             allele_str_blob=blob,
             allele_str_offsets=offsets,
