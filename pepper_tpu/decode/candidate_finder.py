@@ -148,15 +148,83 @@ def _valid_allele(allele: str) -> bool:
     return _ACGT_SET.issuperset(allele.upper())
 
 
+def _annotate_bulk(fasta, candidates):
+    """(in_repeat bool array, ref_base list) per candidate — identical to
+    per-candidate `candidate_in_homopolymer` + `_candidate_context`
+    ref_base calls, but computed vectorized per 1Mb reference tile: run
+    start/end arrays come from one boundary scan, and the reference's
+    window truncation (runs measured inside the +-10bp fetch,
+    CandidateFinder.py:393-416) is the min/max clamp against the window
+    bounds."""
+    n = len(candidates)
+    in_repeat = np.zeros(n, bool)
+    ref_bases = [""] * n
+    order = sorted(range(n), key=lambda i: (candidates[i].contig,
+                                            candidates[i].position))
+    tile_contig, tile_start, tile_stop, tile_seq = None, 0, 0, ""
+    contig_len = 0
+    run_start = run_end = None
+    group: list[int] = []
+
+    def flush():
+        if not group:
+            return
+        indices = np.asarray(group, np.int64)
+        pos = np.asarray([candidates[i].position for i in group], np.int64)
+        w0 = np.maximum(0, pos - 10)
+        w1 = np.minimum(contig_len, pos + 10)
+        offsets = np.arange(-5, 4)
+        window = pos[:, None] + offsets[None, :]
+        valid = (window >= 0) & (window < w1[:, None])
+        local = np.clip(window - tile_start, 0, len(run_start) - 1)
+        truncated = (np.minimum(run_end[local], w1[:, None])
+                     - np.maximum(run_start[local], w0[:, None]))
+        in_repeat[indices] = ((truncated >= 5) & valid).any(axis=1)
+        for k, i in enumerate(group):
+            local_pos = pos[k] - tile_start
+            ref_bases[i] = tile_seq[local_pos:local_pos + 1]
+        group.clear()
+
+    for i in order:
+        candidate = candidates[i]
+        lo = max(0, candidate.position - 10)
+        hi = candidate.position + 10
+        if candidate.contig != tile_contig:
+            flush()
+            contig_len = fasta.get_chromosome_sequence_length(
+                candidate.contig)
+            tile_contig, tile_seq = candidate.contig, ""
+            tile_start = tile_stop = 0
+        hi = min(hi, contig_len)
+        if lo < tile_start or hi > tile_stop:
+            flush()
+            tile_start = lo
+            tile_stop = min(lo + _CONTEXT_TILE, contig_len)
+            tile_seq = fasta.get_reference_sequence(
+                candidate.contig, tile_start, tile_stop).upper()
+            codes = np.frombuffer(tile_seq.encode("latin-1"), np.uint8)
+            if len(codes):
+                boundaries = np.flatnonzero(np.diff(codes) != 0) + 1
+                starts = np.concatenate([[0], boundaries])
+                lengths = np.diff(np.concatenate([starts, [len(codes)]]))
+                run_start = np.repeat(starts, lengths) + tile_start
+                run_end = np.repeat(starts + lengths, lengths) + tile_start
+            else:
+                run_start = run_end = np.zeros(1, np.int64)
+        group.append(i)
+    flush()
+    return in_repeat, ref_bases
+
+
 def decode_predictions(options, predictions, fasta):
     """Turn classified candidates into Margin (SNP-only) and DeepVariant
     (re-genotyping) candidate lists (CandidateFinder.py:391-529)."""
     margin_list = []
     deepvariant_list = []
-    contexts = _contexts_bulk(fasta, predictions)
-    for candidate, (reference_base, downstream, upstream) in zip(
-            predictions, contexts):
-        in_repeat = _in_homopolymer(downstream, upstream)
+    in_repeat_all, ref_bases = _annotate_bulk(fasta, predictions)
+    for index, candidate in enumerate(predictions):
+        reference_base = ref_bases[index]
+        in_repeat = bool(in_repeat_all[index])
         if reference_base not in ACGT:
             continue
 

@@ -555,3 +555,72 @@ def test_native_vcf_emit_matches_python(fasta, tmp_path, monkeypatch):
             coffset, intra = voff >> 16, voff & 0xffff
             snippet = blocks[coffset][intra:intra + 8]
             assert snippet.startswith(contig_prefixes), (name, voff)
+
+
+def test_annotate_bulk_matches_per_candidate(tmp_path):
+    """_annotate_bulk must equal per-candidate candidate_in_homopolymer +
+    _candidate_context ref_base — including long runs crossing the +-10bp
+    window edge (the reference truncates runs at the fetch), N runs,
+    contig boundaries, and shuffled multi-contig input."""
+    from pepper_tpu.decode import candidate_finder as cf
+    from pepper_tpu.io.bam_writer import write_fasta
+
+    rng = np.random.RandomState(8)
+    pieces = []
+    while sum(len(p) for p in pieces) < 6000:
+        r = rng.rand()
+        if r < 0.4:  # homopolymer run, lengths straddling the threshold
+            pieces.append("ACGTN"[rng.randint(5)] * rng.randint(3, 30))
+        else:
+            pieces.append("".join("ACGT"[i]
+                                  for i in rng.randint(0, 4, 20)))
+    seq1 = "".join(pieces)
+    seq2 = "".join("ACGT"[i] for i in rng.randint(0, 4, 500)) + "A" * 40
+    path = str(tmp_path / "hp.fa")
+    write_fasta(path, {"c1": seq1, "c2": seq2})
+    handler = FastaReader(path)
+
+    candidates = []
+    for contig, seq in (("c1", seq1), ("c2", seq2)):
+        positions = list(rng.randint(0, len(seq), 400))
+        positions += [0, 1, 4, 5, 9, 10, len(seq) - 1, len(seq) - 5,
+                      len(seq) - 11]
+        for pos in positions:
+            candidates.append(CandidatePrediction(
+                contig, int(pos), 30, ["1A"], [9],
+                np.array([0.2, 0.7, 0.1])))
+    rng.shuffle(candidates)
+
+    in_repeat, ref_bases = cf._annotate_bulk(handler, candidates)
+    for i, candidate in enumerate(candidates):
+        expected_repeat = cf.candidate_in_homopolymer(
+            handler, candidate.contig, candidate.position)
+        expected_base, _, _ = cf._candidate_context(
+            handler, candidate.contig, candidate.position)
+        assert bool(in_repeat[i]) == expected_repeat, \
+            (candidate.contig, candidate.position)
+        assert ref_bases[i] == expected_base, \
+            (candidate.contig, candidate.position)
+
+
+def test_annotate_bulk_small_tiles(tmp_path, monkeypatch):
+    """Tile advances mid-stream must not change results."""
+    from pepper_tpu.decode import candidate_finder as cf
+    from pepper_tpu.io.bam_writer import write_fasta
+
+    rng = np.random.RandomState(18)
+    seq = ("".join("ACGT"[i] for i in rng.randint(0, 4, 300))
+           + "G" * 12
+           + "".join("ACGT"[i] for i in rng.randint(0, 4, 300)))
+    path = str(tmp_path / "tiles.fa")
+    write_fasta(path, {"c1": seq})
+    handler = FastaReader(path)
+    monkeypatch.setattr(cf, "_CONTEXT_TILE", 64)
+    candidates = [CandidatePrediction("c1", p, 30, ["1A"], [9],
+                                      np.array([0.2, 0.7, 0.1]))
+                  for p in range(0, len(seq), 3)]
+    in_repeat, ref_bases = cf._annotate_bulk(handler, candidates)
+    for i, candidate in enumerate(candidates):
+        assert bool(in_repeat[i]) == cf.candidate_in_homopolymer(
+            handler, "c1", candidate.position), candidate.position
+        assert ref_bases[i] == seq[candidate.position:candidate.position + 1]
