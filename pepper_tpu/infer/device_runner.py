@@ -4,8 +4,9 @@ dispatch per region batch (ops/device_windows.py).  Selectable with
 `--device_pileup`; the host default assembles window images in the
 summarizer instead (PERFORMANCE.md records the measured rates for both).
 
-Shapes are bucketed (stride, padded region count, padded window count) so
-repeated dispatches reuse one compilation per bucket.
+Shapes are bucketed (stride, padded region count, padded window count) by
+the shared helpers in ops/device_windows.py so repeated dispatches reuse
+one compilation per bucket.
 """
 
 from __future__ import annotations
@@ -13,15 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..decode.candidate_finder import CandidatePrediction
-from ..ops.device_windows import HALF, _fused_images_classify
-
-_DESCRIPTOR_NAMES = ("base_index", "type_digit", "type_value", "depth_fwd",
-                     "depth_rev", "flip_fwd_col", "flip_rev_col",
-                     "star_fwd_col", "star_rev_col", "del_len")
-
-
-def _round_up(value: int, multiple: int) -> int:
-    return -(-value // multiple) * multiple
+from ..ops.device_windows import classify_regions_images
 
 
 class DeviceRegionRunner:
@@ -48,37 +41,12 @@ class DeviceRegionRunner:
     def _predict_batch(self, packages):
         if not packages:
             return []
-        # stride bucket: margins + tallest region, rounded so repeated
-        # dispatches share a compilation
-        rows_max = max(p.region_rows for p in packages)
-        stride = _round_up(rows_max + 2 * HALF, 256)
-        n_regions = self.region_batch
-        stacked = np.zeros((n_regions * stride, self.features), np.int8)
-        k_total = 0
-        for r, package in enumerate(packages):
-            offset = r * stride + HALF
-            stacked[offset:offset + package.image.shape[0]] = package.image
-            k_total += len(package.descriptors.base_index)
-        k_padded = max(128, _round_up(k_total, 128))
-        merged = {}
-        for name in _DESCRIPTOR_NAMES:
-            parts = []
-            for r, package in enumerate(packages):
-                values = np.asarray(getattr(package.descriptors, name),
-                                    np.int32)
-                if name == "base_index":
-                    values = values + np.int32(r * stride + HALF)
-                parts.append(values)
-            column = np.concatenate(parts) if parts else \
-                np.zeros(0, np.int32)
-            padded = np.zeros(k_padded, np.int32)
-            padded[:k_total] = column
-            if name == "type_digit":
-                padded[k_total:] = 1  # harmless snp-shaped dummies
-            merged[name] = padded
-        probs = np.asarray(_fused_images_classify(
-            self.params, stacked, merged,
-            compute_dtype=self.compute_dtype))[:k_total]
+        probs = np.asarray(classify_regions_images(
+            self.params, [p.image for p in packages],
+            [p.descriptors for p in packages],
+            [p.region_rows for p in packages],
+            compute_dtype=self.compute_dtype,
+            pad_regions=self.region_batch))
 
         predictions = []
         index = 0
@@ -90,5 +58,5 @@ class DeviceRegionRunner:
                     candidate_frequency=window.candidate_frequency,
                     prediction_base=probs[index].astype(np.float64)))
                 index += 1
-        assert index == k_total
+        assert index == len(probs)
         return predictions

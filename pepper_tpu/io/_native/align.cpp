@@ -413,7 +413,14 @@ AlignmentResult smith_waterman(const std::string& target,
   const int64_t m = static_cast<int64_t>(query.size());
   const int64_t max_h =
       static_cast<int64_t>(match_score) * std::min(m, n);
+  // every quantity the striped engine holds in int16 lanes must stay in
+  // range: scores/decays bounded by the ext*len + open terms (which also
+  // bound m and n, since gap_extend >= 1 is required), target index j in
+  // the best-cell tracker bounded by n, and the raw penalties themselves
   if (m > 0 && n > 0 && gap_open_penalty >= gap_extend_penalty &&
+      gap_extend_penalty >= 1 && mismatch_penalty >= 0 &&
+      mismatch_penalty <= 30000 && match_score <= 30000 &&
+      gap_open_penalty <= 30000 && n <= 30000 &&
       max_h + gap_extend_penalty * m <= 30000 &&
       gap_extend_penalty * n + gap_open_penalty <= 30000 &&
       max_h <= 30000) {

@@ -32,6 +32,7 @@ constexpr char kSeqNt16Str[] = "=ACMGRSVTWYHKDBN";
 // to 16 interleaved nibbles and map through a pshufb LUT.
 inline void decode_seq_span(char* dst, const uint8_t* seqi, int64_t ri,
                             int64_t n) {
+  if (n <= 0) return;
   int64_t written = 0;
 #ifdef __SSSE3__
   if (ri & 1) {  // align to an even base index (byte boundary)

@@ -297,6 +297,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
           }
           int32_t* image = acc.out->image.data();
           int32_t* coverage = acc.out->coverage.data();
+          const int features = acc.out->features;
           const int cov_col = is_reverse ? 15 : 4;
           const int* col_tab = is_reverse ? kMatch.col_rev : kMatch.col_fwd;
           int64_t i = start_i;
@@ -310,8 +311,8 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
             if (run > 0) {
               const int64_t ri0 = ref_position - ref_start;
               const char* run_ref = ref.data() + ri0;
-              int32_t* row = image + ri0 * 26;
-              for (int64_t k = 0; k < run; ++k, row += 26) {
+              int32_t* row = image + ri0 * features;
+              for (int64_t k = 0; k < run; ++k, row += features) {
                 const unsigned char ref_byte =
                     static_cast<unsigned char>(run_ref[k]);
                 coverage[ri0 + k] += 1;

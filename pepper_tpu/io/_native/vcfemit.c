@@ -341,13 +341,19 @@ static PyObject *emit_chunk(PyObject *self, PyObject *args) {
             rec->line_len = (int)line_n;
             rec->route = (int)route;
             lines.len += (size_t)line_n;
-        } else {
+        } else if (PyTuple_GET_SIZE(item) == 12) {
             size_t saved = lines.len;
             if (encode_single(item, cutoffs, &lines, rec) < 0) goto fail;
             if (rec->pos == last_position) {
                 lines.len = saved; /* dedup: drop the encoded line */
                 continue;
             }
+        } else {
+            PyErr_Format(PyExc_TypeError,
+                         "item must be a 12-tuple candidate or a 5-tuple "
+                         "record, got a %zd-tuple",
+                         PyTuple_GET_SIZE(item));
+            goto fail;
         }
         last_position = rec->pos;
         counts[rec->route]++;
@@ -463,12 +469,18 @@ static PyObject *emit_chunk(PyObject *self, PyObject *args) {
                 run_end++;
             }
             size_t m = run_end - run_start;
-            PyObject *entry = Py_BuildValue(
-                "(ONNNN)", contig,
-                int64_bytes(begs + run_start, m),
-                int64_bytes(ends + run_start, m),
-                int64_bytes(vstarts + run_start, m),
-                int64_bytes(vends + run_start, m));
+            PyObject *b_begs = int64_bytes(begs + run_start, m);
+            PyObject *b_ends = int64_bytes(ends + run_start, m);
+            PyObject *b_vs = int64_bytes(vstarts + run_start, m);
+            PyObject *b_ve = int64_bytes(vends + run_start, m);
+            PyObject *entry = NULL;
+            if (b_begs && b_ends && b_vs && b_ve)
+                entry = Py_BuildValue("(OOOOO)", contig, b_begs, b_ends,
+                                      b_vs, b_ve);
+            Py_XDECREF(b_begs);
+            Py_XDECREF(b_ends);
+            Py_XDECREF(b_vs);
+            Py_XDECREF(b_ve);
             if (!entry || PyList_Append(runs, entry) < 0) {
                 Py_XDECREF(entry);
                 Py_DECREF(runs);
@@ -491,8 +503,13 @@ static PyObject *emit_chunk(PyObject *self, PyObject *args) {
     free(lines.buf);
     free(recs);
     Py_DECREF(fast);
-    return Py_BuildValue("(N(LLL)L)", streams, counts[0], counts[1],
-                         counts[2], last_position);
+    {
+        PyObject *result = Py_BuildValue(
+            "(O(LLL)L)", streams, counts[0], counts[1], counts[2],
+            last_position);
+        Py_DECREF(streams);
+        return result;
+    }
 
 fail_files:
     deflateEnd(&zs);

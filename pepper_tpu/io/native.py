@@ -13,7 +13,10 @@ _lib = None
 
 
 def _build():
-    subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+    import sys
+
+    subprocess.run(["make", "-s", f"PYTHON={sys.executable}"],
+                   cwd=_NATIVE_DIR, check=True)
 
 
 def get_lib() -> ctypes.CDLL:

@@ -236,16 +236,17 @@ def pack_regions(region_sizes):
 
 
 def classify_regions_images(params, images, descriptor_list, region_sizes,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, pad_regions: int = 0):
     """Fused image flow over a batch of regions.
 
     images: list of (n_rows_r, F) int8 host-native region images (already
     clamped + int8-cast by generate_summary); descriptor_list: one
     CandidateDescriptors per region (base_index region-local);
-    region_sizes: rows per region.  Returns (K_total, 3) probabilities in
-    region-major window order."""
+    region_sizes: rows per region.  pad_regions pads the stacked image to
+    a fixed region count so repeated dispatches share a compilation.
+    Returns (K_total, 3) probabilities in region-major window order."""
     stride, offsets = pack_regions(region_sizes)
-    n_regions = len(images)
+    n_regions = max(len(images), pad_regions)
     F = images[0].shape[1]
     stacked = np.zeros((n_regions * stride, F), np.int8)
     for r, image in enumerate(images):

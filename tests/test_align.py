@@ -194,3 +194,35 @@ def test_striped_engine_long_reads():
         query = "".join(query)
         assert run(lib.pepper_align, target, query) == \
             run(lib.pepper_align_scalar, target, query)
+
+
+def test_out_of_range_scoring_uses_scalar_engine():
+    """Parameter sets that overflow the striped engine's int16 math must
+    fall back to the scalar engine (two previously-reproduced divergences:
+    gap_extend=0 with a 40kb target, and mismatch_penalty=40000)."""
+    import ctypes
+
+    from pepper_tpu.io.align import _configure
+    from pepper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    _configure(lib)
+    lib.pepper_align_scalar.restype = ctypes.c_void_p
+    lib.pepper_align_scalar.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+
+    def run(fn, target, query, scoring):
+        handle = fn(target.encode(), query.encode(), *scoring)
+        try:
+            return (lib.pepper_align_score(handle),
+                    lib.pepper_align_ref_begin(handle),
+                    lib.pepper_align_cigar(handle).decode())
+        finally:
+            lib.pepper_align_free(handle)
+
+    target = "ACGT" * 10000  # 40kb
+    query = target[-40:][:30]
+    for scoring in ((4, 6, 8, 0), (4, 40000, 8, 2), (40000, 6, 8, 2)):
+        assert run(lib.pepper_align, target, query, scoring) == \
+            run(lib.pepper_align_scalar, target, query, scoring), scoring

@@ -624,3 +624,16 @@ def test_annotate_bulk_small_tiles(tmp_path, monkeypatch):
         assert bool(in_repeat[i]) == cf.candidate_in_homopolymer(
             handler, "c1", candidate.position), candidate.position
         assert ref_bases[i] == seq[candidate.position:candidate.position + 1]
+
+
+def test_native_vcf_emit_rejects_malformed_items():
+    """A wrong-arity tuple must raise TypeError (was a segfault)."""
+    from pepper_tpu.decode.vcf_writer import _get_native_emit
+
+    emit = _get_native_emit()
+    if emit is None:
+        pytest.skip("native vcf emit unavailable")
+    with pytest.raises(TypeError):
+        emit([("chr1", 100, "A")], (10.0, 10.0, 10.0, 10.0), -1, 1)
+    with pytest.raises(TypeError):
+        emit(["not-a-tuple"], (10.0, 10.0, 10.0, 10.0), -1, 1)
