@@ -126,12 +126,17 @@ struct Accumulator {
 struct MatchTables {
   int col_fwd[256];
   int col_rev[256];
+  int col_hp2_fwd[256];   // HP block-2 observation columns
+  int col_hp2_rev[256];
   int32_t delta[256];
-  constexpr MatchTables() : col_fwd(), col_rev(), delta() {
+  constexpr MatchTables()
+      : col_fwd(), col_rev(), col_hp2_fwd(), col_hp2_rev(), delta() {
     for (int i = 0; i < 256; ++i) {
       const bool valid = kBase.valid_ref[i];
       col_fwd[i] = 7 + (valid ? kBase.offset[i] : 0);
       col_rev[i] = 18 + (valid ? kBase.offset[i] : 0);
+      col_hp2_fwd[i] = 29 + (valid ? kBase.offset[i] : 0);
+      col_hp2_rev[i] = 40 + (valid ? kBase.offset[i] : 0);
       delta[i] = valid ? 1 : 0;
     }
   }
@@ -330,10 +335,50 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
             ++ref_position;
           }
         } else {
-          for (int64_t i = start_i; i < lim; ++i) {
+          // HP run fast path (no anchor quirk in HP mode): a matching
+          // qual-pass base decrements the per-haplotype coverage row and
+          // the per-haplotype matching-observation cell
+          int32_t* image = acc.out->image.data();
+          int32_t* coverage = acc.out->coverage.data();
+          const int features = acc.out->features;
+          const int cov1 = is_reverse ? 15 : 4;
+          const int cov2 = is_reverse ? 37 : 26;
+          const int* col1_tab = is_reverse ? kMatch.col_rev : kMatch.col_fwd;
+          const int* col2_tab =
+              is_reverse ? kMatch.col_hp2_rev : kMatch.col_hp2_fwd;
+          int64_t i = start_i;
+          while (i < lim) {
+            const int64_t run = good_run_length(
+                seq + read_index,
+                ref.data() + (ref_position - ref_start),
+                qual + read_index, min_snp_q, lim - i);
+            if (run > 0) {
+              const int64_t ri0 = ref_position - ref_start;
+              const char* run_ref = ref.data() + ri0;
+              int32_t* row = image + ri0 * features;
+              for (int64_t k = 0; k < run; ++k, row += features) {
+                const unsigned char ref_byte =
+                    static_cast<unsigned char>(run_ref[k]);
+                coverage[ri0 + k] += 1;
+                const int32_t observe = kMatch.delta[ref_byte];
+                if (in_hp1) {
+                  row[cov1] -= 1;
+                  row[col1_tab[ref_byte]] -= observe;
+                }
+                if (in_hp2) {
+                  row[cov2] -= 1;
+                  row[col2_tab[ref_byte]] -= observe;
+                }
+              }
+              i += run;
+              read_index += run;
+              ref_position += run;
+              if (i >= lim) break;
+            }
             process_match_base(i);
-            read_index += 1;
-            ref_position += 1;
+            ++i;
+            ++read_index;
+            ++ref_position;
           }
         }
         read_index += length - lim;
