@@ -44,6 +44,16 @@ def get_label(base: str) -> int:
     return {"A": 1, "C": 2, "G": 3, "T": 4}.get(base.upper(), 0)
 
 
+# byte -> feature column LUTs (get_feature_index vectorized; lowercase
+# folded like the scalar .upper())
+_FWD_LUT = np.full(256, 9, np.int64)
+_REV_LUT = np.full(256, 8, np.int64)
+for _i, _b in enumerate("ACGT"):
+    for _c in (_b, _b.lower()):
+        _FWD_LUT[ord(_c)] = 4 + _i
+        _REV_LUT[ord(_c)] = _i
+
+
 @dataclass
 class PolishSummary:
     """Accumulates base/insert summaries for one region, then renders the
@@ -54,9 +64,9 @@ class PolishSummary:
     ref_start: int
     ref_end: int
 
-    base_summaries: dict = field(default_factory=lambda: defaultdict(float))
+    # dense accumulators (vectorized read walk); inserts stay keyed — they
+    # are rare and the expanded layout depends on longest_insert_count
     insert_summaries: dict = field(default_factory=lambda: defaultdict(float))
-    coverage: dict = field(default_factory=lambda: defaultdict(float))
     longest_insert_count: dict = field(
         default_factory=lambda: defaultdict(int))
     base_labels: dict = field(default_factory=dict)
@@ -67,34 +77,71 @@ class PolishSummary:
     genomic_pos: list = field(default_factory=list)
     bad_label_positions: list = field(default_factory=list)
 
+    def _ensure_dense(self) -> None:
+        if getattr(self, "_base_dense", None) is None:
+            n_ref = self.ref_end - self.ref_start + 1
+            self._base_dense = np.zeros((n_ref, 10), np.float64)
+            self._cov_dense = np.zeros(n_ref, np.float64)
+
+    class _CoverageView:
+        """dict-like position -> coverage view over the dense array (the
+        old defaultdict interface, kept for subclasses/tests)."""
+
+        def __init__(self, summary):
+            self._summary = summary
+
+        def __getitem__(self, pos):
+            summary = self._summary
+            summary._ensure_dense()
+            offset = pos - summary.ref_start
+            if 0 <= offset < len(summary._cov_dense):
+                return float(summary._cov_dense[offset])
+            return 0.0
+
+    @property
+    def coverage(self):
+        return PolishSummary._CoverageView(self)
+
     def _iterate_over_read(self, batch: ReadBatch, r: int,
                            region_end: int) -> None:
+        """Vectorized walk: whole in-region match/delete spans accumulate
+        with one fancy-index add each (positions within an op are unique,
+        so plain += is exact); inserts stay scalar.  Semantics match the
+        old per-base loop incl. the deletion-coverage-at-anchor quirk and
+        out-of-region anchors being dropped."""
+        self._ensure_dense()
         seq_start = int(batch.seq_offsets[r])
-        seq = batch.seq[seq_start:int(batch.seq_offsets[r + 1])]
+        seq = batch.seq
         is_reverse = bool(batch.is_reverse[r])
-        read_index = 0
+        lut = _REV_LUT if is_reverse else _FWD_LUT
+        star_feature = 8 if is_reverse else 9
+        base_dense = self._base_dense
+        cov_dense = self._cov_dense
+        region_start, region_stop = self.ref_start, self.ref_end
+        read_index = seq_start
         ref_position = int(batch.pos[r])
         for op, length in batch.read_cigar(r):
             if ref_position > region_end:
                 break
             if op in (OP_MATCH, OP_EQUAL, OP_DIFF):
                 start_i = 0
-                if ref_position < self.ref_start:
-                    start_i = min(self.ref_start - ref_position, length)
+                if ref_position < region_start:
+                    start_i = min(region_start - ref_position, length)
                     read_index += start_i
                     ref_position += start_i
-                for _ in range(start_i, length):
-                    if self.ref_start <= ref_position <= self.ref_end:
-                        base = chr(seq[read_index])
-                        self.base_summaries[
-                            (ref_position,
-                             get_feature_index(base, is_reverse))] += 1.0
-                        self.coverage[ref_position] += 1.0
-                    read_index += 1
-                    ref_position += 1
+                span = min(length - start_i,
+                           region_stop - ref_position + 1)
+                if span > 0:
+                    row0 = ref_position - region_start
+                    rows = np.arange(row0, row0 + span)
+                    features = lut[seq[read_index:read_index + span]]
+                    base_dense[rows, features] += 1.0
+                    cov_dense[row0:row0 + span] += 1.0
+                read_index += length - start_i
+                ref_position += length - start_i
             elif op == OP_INS:
                 anchor = ref_position - 1
-                if self.ref_start <= anchor <= self.ref_end:
+                if region_start <= anchor <= region_stop:
                     alt = seq[read_index:read_index + length].tobytes() \
                         .decode()
                     for i, base in enumerate(alt):
@@ -105,13 +152,17 @@ class PolishSummary:
                         self.longest_insert_count[anchor], len(alt))
                 read_index += length
             elif op in (OP_REF_SKIP, OP_PAD, OP_DEL):
-                for i in range(length):
-                    if (self.ref_start <= ref_position + i <= self.ref_end):
-                        self.base_summaries[
-                            (ref_position + i,
-                             get_feature_index("*", is_reverse))] += 1.0
-                        # reference quirk: coverage goes to the anchor
-                        self.coverage[ref_position] += 1.0
+                lo = max(ref_position, region_start)
+                hi = min(ref_position + length - 1, region_stop)
+                if hi >= lo:
+                    base_dense[lo - region_start:hi - region_start + 1,
+                               star_feature] += 1.0
+                    # reference quirk: coverage goes to the anchor, once
+                    # per in-region deleted base (out-of-region anchors
+                    # were booked to keys the render never reads)
+                    if region_start <= ref_position <= region_stop:
+                        cov_dense[ref_position - region_start] += \
+                            float(hi - lo + 1)
                 ref_position += length
             elif op == OP_SOFT_CLIP:
                 read_index += length
@@ -167,22 +218,27 @@ class PolishSummary:
         return int(value) & 0xFF
 
     def _generate_image(self) -> None:
-        for pos in range(self.ref_start, self.ref_end + 1):
-            denom = max(1.0, self.coverage[pos])
-            row = [
-                self._pixel(self.base_summaries[(pos, j)] / denom * MAX_COLOR)
-                for j in range(10)
-            ]
-            self.image.append(row)
+        self._ensure_dense()
+        denom = np.maximum(1.0, self._cov_dense)
+        pixels = (self._base_dense / denom[:, None]) * MAX_COLOR
+        pixels = (pixels.astype(np.int64) & 0xFF).astype(np.uint8)
+        if not self.longest_insert_count:
+            self.image.extend(pixels)
+            return
+        for offset, pos in enumerate(range(self.ref_start,
+                                           self.ref_end + 1)):
+            self.image.append(pixels[offset])
+            position_denom = denom[offset]
             for ii in range(self.longest_insert_count[pos]):
                 self.image.append([
-                    self._pixel(self.insert_summaries[((pos, ii), j)] / denom
-                                * MAX_COLOR)
+                    self._pixel(self.insert_summaries[((pos, ii), j)]
+                                / position_denom * MAX_COLOR)
                     for j in range(10)
                 ])
 
     def generate_summary(self, batch: ReadBatch) -> None:
         """Inference-mode summary (generate_summary, :361-387)."""
+        self._ensure_dense()
         for r in range(batch.n_reads):
             if batch.mapq[r] > 0:
                 self._iterate_over_read(batch, r, self.ref_end)
@@ -197,6 +253,7 @@ class PolishSummary:
                                truth_index: int) -> None:
         """Train-mode summary with labels from one realigned truth read
         (generate_train_summary, :293-358)."""
+        self._ensure_dense()
         for r in range(batch.n_reads):
             if batch.mapq[r] > 0:
                 self._iterate_over_read(batch, r, self.ref_end)
@@ -207,7 +264,7 @@ class PolishSummary:
 
         for pos in range(self.ref_start, self.ref_end + 1):
             base = self.base_labels.get(pos, "\0")
-            if self.coverage[pos] > 0:
+            if self._cov_dense[pos - self.ref_start] > 0:
                 self.labels.append(get_label(base))
             else:
                 self.labels.append(get_label("*"))
