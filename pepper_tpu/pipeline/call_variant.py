@@ -143,6 +143,29 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     return None
 
 
+def resolve_device_pileup(options) -> None:
+    """Clear options.device_pileup when the fused device-window flow
+    cannot serve the request (it classifies with the bf16/f32 lstm
+    transducer only): quantized serving, non-lstm families, HP images and
+    dry runs all fall back to the host window flow — explicitly, so the
+    user never gets a silently different model."""
+    if not getattr(options, "device_pileup", False):
+        return
+    blockers = []
+    if options.dry:
+        blockers.append("--dry")
+    if options.use_hp_info:
+        blockers.append("--use_hp_info")
+    if options.quantized:
+        blockers.append("--quantized")
+    if getattr(options, "model_type", "lstm") != "lstm":
+        blockers.append(f"--model_type {options.model_type}")
+    if blockers:
+        log_info("DEVICE PILEUP DISABLED (unsupported with "
+                 f"{', '.join(blockers)}); using the host window flow")
+        options.device_pileup = False
+
+
 def _make_predict_fn(options, params):
     if options.dry:
         return fake_predict
@@ -246,6 +269,7 @@ def call_variant(options, params=None):
     params: transducer param pytree (None + options.dry uses the label
     passthrough backend)."""
     start_time = time.time()
+    resolve_device_pileup(options)
     os.makedirs(options.output_dir, exist_ok=True)
 
     bam_handler = BamReader(options.bam)

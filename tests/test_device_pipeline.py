@@ -86,3 +86,25 @@ def test_device_pileup_threaded_matches(sim):
     device_records = read_vcf(os.path.join(
         out_dev, "PEPPER_VARIANT_FULL.vcf.gz"))
     assert device_records == host_records
+
+
+def test_resolve_device_pileup_gating():
+    """Unsupported combinations must clear the flag (never silently serve
+    a different model); the supported combination keeps it."""
+    from pepper_tpu.pipeline.call_variant import resolve_device_pileup
+
+    def make(**kw):
+        base = dict(device_pileup=True, dry=False, use_hp_info=False,
+                    quantized=False, model_type="lstm")
+        base.update(kw)
+        return PepperOptions(**base)
+
+    for blocker in (dict(dry=True), dict(use_hp_info=True),
+                    dict(quantized=True), dict(model_type="transformer")):
+        options = make(**blocker)
+        resolve_device_pileup(options)
+        assert options.device_pileup is False, blocker
+
+    options = make()
+    resolve_device_pileup(options)
+    assert options.device_pileup is True
