@@ -6,6 +6,9 @@
 #ifdef __SSE2__
 #include <emmintrin.h>
 #endif
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -162,7 +165,8 @@ AlignmentResult smith_waterman_scalar(const std::string& target,
 
 namespace {
 
-// Striped (Farrar-layout) affine-gap local alignment, 8 x int16 lanes.
+// Striped (Farrar-layout) affine-gap local alignment over int16 lanes,
+// templated on the vector width (SSE2: 8 lanes, AVX2: 16 lanes).
 //
 // Produces results bit-identical to smith_waterman_scalar (fuzz-asserted
 // in tests/test_align.py): the DP stores five packed bitplanes per cell —
@@ -182,49 +186,104 @@ namespace {
 struct StripedPlanes {
   int64_t seg_len;
   // planes[j * seg_len + s], bit l  (j 0-based target index)
-  std::vector<uint8_t> up, left, none, e_ext, f_ext;
-  bool bit(const std::vector<uint8_t>& plane, int64_t i, int64_t j) const {
+  std::vector<uint16_t> up, left, none, e_ext, f_ext;
+  bool bit(const std::vector<uint16_t>& plane, int64_t i, int64_t j) const {
     const int64_t q = i - 1;
     return (plane[(j - 1) * seg_len + (q % seg_len)] >>
             (q / seg_len)) & 1;
   }
 };
 
-inline uint8_t mask8(__m128i cmp16) {
-  return static_cast<uint8_t>(
-      _mm_movemask_epi8(_mm_packs_epi16(cmp16, _mm_setzero_si128())));
-}
+struct Sse2Ops {
+  using V = __m128i;
+  static constexpr int kLanes = 8;
+  static V zero() { return _mm_setzero_si128(); }
+  static V set1(int16_t v) { return _mm_set1_epi16(v); }
+  static V load(const int16_t* p) {
+    return _mm_load_si128(reinterpret_cast<const __m128i*>(p));
+  }
+  static void store(int16_t* p, V v) {
+    _mm_store_si128(reinterpret_cast<__m128i*>(p), v);
+  }
+  static V add(V a, V b) { return _mm_add_epi16(a, b); }
+  static V sub(V a, V b) { return _mm_sub_epi16(a, b); }
+  static V max(V a, V b) { return _mm_max_epi16(a, b); }
+  static V cmpgt(V a, V b) { return _mm_cmpgt_epi16(a, b); }
+  static V cmpeq(V a, V b) { return _mm_cmpeq_epi16(a, b); }
+  static V blend(V a, V b, V mask) {
+    return _mm_or_si128(_mm_and_si128(mask, b), _mm_andnot_si128(mask, a));
+  }
+  // shift up by one query element (lane 0 receives 0)
+  static V shift_one(V v) { return _mm_slli_si128(v, 2); }
+  static uint16_t mask(V cmp) {
+    return static_cast<uint16_t>(static_cast<uint8_t>(_mm_movemask_epi8(
+        _mm_packs_epi16(cmp, _mm_setzero_si128()))));
+  }
+};
 
-inline __m128i blend16(__m128i a, __m128i b, __m128i mask) {
-  return _mm_or_si128(_mm_and_si128(mask, b), _mm_andnot_si128(mask, a));
-}
+#ifdef __AVX2__
+struct Avx2Ops {
+  using V = __m256i;
+  static constexpr int kLanes = 16;
+  static V zero() { return _mm256_setzero_si256(); }
+  static V set1(int16_t v) { return _mm256_set1_epi16(v); }
+  static V load(const int16_t* p) {
+    return _mm256_load_si256(reinterpret_cast<const __m256i*>(p));
+  }
+  static void store(int16_t* p, V v) {
+    _mm256_store_si256(reinterpret_cast<__m256i*>(p), v);
+  }
+  static V add(V a, V b) { return _mm256_add_epi16(a, b); }
+  static V sub(V a, V b) { return _mm256_sub_epi16(a, b); }
+  static V max(V a, V b) { return _mm256_max_epi16(a, b); }
+  static V cmpgt(V a, V b) { return _mm256_cmpgt_epi16(a, b); }
+  static V cmpeq(V a, V b) { return _mm256_cmpeq_epi16(a, b); }
+  static V blend(V a, V b, V mask) {
+    return _mm256_blendv_epi8(a, b, mask);
+  }
+  // whole-register one-element shift: [0, v0..v14] (alignr works per
+  // 128-bit lane, so feed it [zero, v_low] as the carry-in register)
+  static V shift_one(V v) {
+    const V carry = _mm256_permute2x128_si256(v, v, 0x08);
+    return _mm256_alignr_epi8(v, carry, 14);
+  }
+  static uint32_t mask(V cmp) {
+    const __m256i packed =
+        _mm256_packs_epi16(cmp, _mm256_setzero_si256());
+    const uint32_t bits =
+        static_cast<uint32_t>(_mm256_movemask_epi8(packed));
+    return (bits & 0xFFu) | ((bits >> 8) & 0xFF00u);
+  }
+};
+#endif  // __AVX2__
 
-AlignmentResult smith_waterman_striped(const std::string& target,
-                                       const std::string& query,
-                                       int match_score, int mismatch_penalty,
-                                       int gap_open_penalty,
-                                       int gap_extend_penalty) {
+template <typename Ops>
+AlignmentResult smith_waterman_striped_impl(const std::string& target,
+                                            const std::string& query,
+                                            int match_score,
+                                            int mismatch_penalty,
+                                            int gap_open_penalty,
+                                            int gap_extend_penalty) {
+  using V = typename Ops::V;
   AlignmentResult result;
   const int64_t n = static_cast<int64_t>(target.size());
   const int64_t m = static_cast<int64_t>(query.size());
-  const int64_t seg_len = (m + 7) / 8;
-  const int64_t lanes = 8;
+  const int64_t lanes = Ops::kLanes;
+  const int64_t seg_len = (m + lanes - 1) / lanes;
 
-  const __m128i v_gap_open = _mm_set1_epi16(static_cast<int16_t>(
-      gap_open_penalty));
-  const __m128i v_gap_ext = _mm_set1_epi16(static_cast<int16_t>(
-      gap_extend_penalty));
-  const __m128i v_match = _mm_set1_epi16(static_cast<int16_t>(match_score));
-  const __m128i v_mism = _mm_set1_epi16(static_cast<int16_t>(
-      -mismatch_penalty));
-  const __m128i v_zero = _mm_setzero_si128();
+  const V v_gap_open = Ops::set1(static_cast<int16_t>(gap_open_penalty));
+  const V v_gap_ext = Ops::set1(static_cast<int16_t>(gap_extend_penalty));
+  const V v_match = Ops::set1(static_cast<int16_t>(match_score));
+  const V v_mism = Ops::set1(static_cast<int16_t>(-mismatch_penalty));
+  const V v_zero = Ops::zero();
 
   // striped query codes (padding -1 never matches a target byte)
-  std::vector<__m128i> v_qcode(seg_len);
-  // per-element constants: i, (i-1)*ext + open, i*ext
-  std::vector<__m128i> v_open_decay(seg_len), v_virtual(seg_len);
+  std::vector<V> v_qcode(seg_len);
+  // per-element constants: (i-1)*ext + open, i*ext, i*ext for G
+  std::vector<V> v_open_decay(seg_len), v_virtual(seg_len);
+  std::vector<V> v_idx_ext(seg_len);
   {
-    alignas(16) int16_t buf[8];
+    alignas(32) int16_t buf[Ops::kLanes];
     for (int64_t s = 0; s < seg_len; ++s) {
       for (int64_t l = 0; l < lanes; ++l) {
         const int64_t q = l * seg_len + s;
@@ -232,37 +291,30 @@ AlignmentResult smith_waterman_striped(const std::string& target,
                              static_cast<unsigned char>(query[q]))
                        : static_cast<int16_t>(-1);
       }
-      v_qcode[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
+      v_qcode[s] = Ops::load(buf);
       for (int64_t l = 0; l < lanes; ++l) {
         const int64_t i = l * seg_len + s + 1;  // 1-based query row
         buf[l] = static_cast<int16_t>((i - 1) * gap_extend_penalty +
                                       gap_open_penalty);
       }
-      v_open_decay[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
+      v_open_decay[s] = Ops::load(buf);
       for (int64_t l = 0; l < lanes; ++l) {
         const int64_t i = l * seg_len + s + 1;
         buf[l] = static_cast<int16_t>(-i * gap_extend_penalty);
       }
-      v_virtual[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
-    }
-  }
-  // G(k) = H0(k) + k*ext needs per-element k = i
-  std::vector<__m128i> v_idx_ext(seg_len);
-  {
-    alignas(16) int16_t buf[8];
-    for (int64_t s = 0; s < seg_len; ++s) {
+      v_virtual[s] = Ops::load(buf);
       for (int64_t l = 0; l < lanes; ++l) {
         const int64_t i = l * seg_len + s + 1;
         buf[l] = static_cast<int16_t>(i * gap_extend_penalty);
       }
-      v_idx_ext[s] = _mm_load_si128(reinterpret_cast<__m128i*>(buf));
+      v_idx_ext[s] = Ops::load(buf);
     }
   }
 
-  std::vector<__m128i> h_prev(seg_len, v_zero), e_prev(seg_len, v_zero);
-  std::vector<__m128i> h_new(seg_len), e_new(seg_len), f_new(seg_len);
-  std::vector<__m128i> diag(seg_len), pref(seg_len);
-  std::vector<__m128i> v_best(seg_len, v_zero), v_best_j(seg_len, v_zero);
+  std::vector<V> h_prev(seg_len, v_zero), e_prev(seg_len, v_zero);
+  std::vector<V> h_new(seg_len), e_new(seg_len), f_new(seg_len);
+  std::vector<V> diag(seg_len), pref(seg_len);
+  std::vector<V> v_best(seg_len, v_zero), v_best_j(seg_len, v_zero);
 
   StripedPlanes planes;
   planes.seg_len = seg_len;
@@ -274,66 +326,64 @@ AlignmentResult smith_waterman_striped(const std::string& target,
   planes.f_ext.resize(plane_size);
 
   for (int64_t j = 1; j <= n; ++j) {
-    const __m128i v_tc = _mm_set1_epi16(static_cast<int16_t>(
+    const V v_tc = Ops::set1(static_cast<int16_t>(
         static_cast<unsigned char>(target[j - 1])));
     const size_t col = static_cast<size_t>(j - 1) * seg_len;
     // E (horizontal gap) + its extension bits, from column j-1 finals
     for (int64_t s = 0; s < seg_len; ++s) {
-      const __m128i e_ext_v = _mm_sub_epi16(e_prev[s], v_gap_ext);
-      const __m128i e_open_v = _mm_sub_epi16(h_prev[s], v_gap_open);
-      planes.e_ext[col + s] = mask8(_mm_cmpgt_epi16(e_ext_v, e_open_v));
-      e_new[s] = _mm_max_epi16(e_ext_v, e_open_v);
+      const V e_ext_v = Ops::sub(e_prev[s], v_gap_ext);
+      const V e_open_v = Ops::sub(h_prev[s], v_gap_open);
+      planes.e_ext[col + s] = Ops::mask(Ops::cmpgt(e_ext_v, e_open_v));
+      e_new[s] = Ops::max(e_ext_v, e_open_v);
       // diag candidate: H(i-1, j-1) + substitution
-      const __m128i h_diag =
-          s == 0 ? _mm_slli_si128(h_prev[seg_len - 1], 2) : h_prev[s - 1];
-      const __m128i eq = _mm_cmpeq_epi16(v_qcode[s], v_tc);
-      diag[s] = _mm_add_epi16(h_diag, blend16(v_mism, v_match, eq));
+      const V h_diag =
+          s == 0 ? Ops::shift_one(h_prev[seg_len - 1]) : h_prev[s - 1];
+      const V eq = Ops::cmpeq(v_qcode[s], v_tc);
+      diag[s] = Ops::add(h_diag, Ops::blend(v_mism, v_match, eq));
       // H0 = max(diag, E, 0); G = H0 + i*ext; in-lane inclusive prefix max
-      const __m128i h0 =
-          _mm_max_epi16(_mm_max_epi16(diag[s], e_new[s]), v_zero);
+      const V h0 = Ops::max(Ops::max(diag[s], e_new[s]), v_zero);
       h_new[s] = h0;  // F folded in below
-      const __m128i g = _mm_add_epi16(h0, v_idx_ext[s]);
-      pref[s] = s == 0 ? g : _mm_max_epi16(pref[s - 1], g);
+      const V g = Ops::add(h0, v_idx_ext[s]);
+      pref[s] = s == 0 ? g : Ops::max(pref[s - 1], g);
     }
     // cross-lane exclusive carry of the G prefix (k = 0 virtual row -> 0)
-    alignas(16) int16_t totals[8], carries[8];
-    _mm_store_si128(reinterpret_cast<__m128i*>(totals), pref[seg_len - 1]);
+    alignas(32) int16_t totals[Ops::kLanes], carries[Ops::kLanes];
+    Ops::store(totals, pref[seg_len - 1]);
     int16_t running = 0;
     for (int64_t l = 0; l < lanes; ++l) {
       carries[l] = running;
       running = std::max(running, totals[l]);
     }
-    const __m128i v_carry =
-        _mm_load_si128(reinterpret_cast<const __m128i*>(carries));
+    const V v_carry = Ops::load(carries);
     // F, final H, remaining bitplanes, best tracking
-    const __m128i v_j = _mm_set1_epi16(static_cast<int16_t>(j));
+    const V v_j = Ops::set1(static_cast<int16_t>(j));
     for (int64_t s = 0; s < seg_len; ++s) {
-      const __m128i excl =
-          s == 0 ? v_carry : _mm_max_epi16(v_carry, pref[s - 1]);
-      const __m128i f_scan = _mm_sub_epi16(excl, v_open_decay[s]);
-      f_new[s] = _mm_max_epi16(f_scan, v_virtual[s]);
-      const __m128i h_final = _mm_max_epi16(h_new[s], f_new[s]);
+      const V excl =
+          s == 0 ? v_carry : Ops::max(v_carry, pref[s - 1]);
+      const V f_scan = Ops::sub(excl, v_open_decay[s]);
+      f_new[s] = Ops::max(f_scan, v_virtual[s]);
+      const V h_final = Ops::max(h_new[s], f_new[s]);
       // bits with the scalar's exact predicates
-      const __m128i best_de = _mm_max_epi16(diag[s], e_new[s]);
-      const __m128i up_mask = _mm_cmpgt_epi16(f_new[s], best_de);
-      const __m128i left_mask = _mm_andnot_si128(
-          up_mask, _mm_cmpgt_epi16(e_new[s], diag[s]));
-      planes.up[col + s] = mask8(up_mask);
-      planes.left[col + s] = mask8(left_mask);
-      planes.none[col + s] = mask8(_mm_cmpeq_epi16(h_final, v_zero));
+      const V best_de = Ops::max(diag[s], e_new[s]);
+      const V up_mask = Ops::cmpgt(f_new[s], best_de);
+      const V e_gt_d = Ops::cmpgt(e_new[s], diag[s]);
+      planes.up[col + s] = Ops::mask(up_mask);
+      planes.left[col + s] = static_cast<uint16_t>(
+          Ops::mask(e_gt_d) & static_cast<uint32_t>(~Ops::mask(up_mask)));
+      planes.none[col + s] = Ops::mask(Ops::cmpeq(h_final, v_zero));
       h_new[s] = h_final;
-      const __m128i better = _mm_cmpgt_epi16(h_final, v_best[s]);
-      v_best[s] = _mm_max_epi16(v_best[s], h_final);
-      v_best_j[s] = blend16(v_best_j[s], v_j, better);
+      const V better = Ops::cmpgt(h_final, v_best[s]);
+      v_best[s] = Ops::max(v_best[s], h_final);
+      v_best_j[s] = Ops::blend(v_best_j[s], v_j, better);
     }
     // f_ext bits: (F(i-1,j) - ext) > (H(i-1,j) - open), row 0 -> zeros
     for (int64_t s = 0; s < seg_len; ++s) {
-      const __m128i f_up =
-          s == 0 ? _mm_slli_si128(f_new[seg_len - 1], 2) : f_new[s - 1];
-      const __m128i h_up =
-          s == 0 ? _mm_slli_si128(h_new[seg_len - 1], 2) : h_new[s - 1];
-      planes.f_ext[col + s] = mask8(_mm_cmpgt_epi16(
-          _mm_sub_epi16(f_up, v_gap_ext), _mm_sub_epi16(h_up, v_gap_open)));
+      const V f_up =
+          s == 0 ? Ops::shift_one(f_new[seg_len - 1]) : f_new[s - 1];
+      const V h_up =
+          s == 0 ? Ops::shift_one(h_new[seg_len - 1]) : h_new[s - 1];
+      planes.f_ext[col + s] = Ops::mask(Ops::cmpgt(
+          Ops::sub(f_up, v_gap_ext), Ops::sub(h_up, v_gap_open)));
     }
     h_prev.swap(h_new);
     e_prev.swap(e_new);
@@ -341,11 +391,11 @@ AlignmentResult smith_waterman_striped(const std::string& target,
 
   // best cell: minimal (i, j) among maxima — scan per-element bests in
   // query-major order (the scalar's first-strict-improvement order)
-  std::vector<int16_t> best_scores(8 * seg_len), best_js(8 * seg_len);
+  std::vector<int16_t> best_scores(lanes * seg_len), best_js(lanes * seg_len);
   for (int64_t s = 0; s < seg_len; ++s) {
-    alignas(16) int16_t b[8], bj[8];
-    _mm_store_si128(reinterpret_cast<__m128i*>(b), v_best[s]);
-    _mm_store_si128(reinterpret_cast<__m128i*>(bj), v_best_j[s]);
+    alignas(32) int16_t b[Ops::kLanes], bj[Ops::kLanes];
+    Ops::store(b, v_best[s]);
+    Ops::store(bj, v_best_j[s]);
     for (int64_t l = 0; l < lanes; ++l) {
       best_scores[l * seg_len + s] = b[l];
       best_js[l * seg_len + s] = bj[l];
@@ -398,6 +448,22 @@ AlignmentResult smith_waterman_striped(const std::string& target,
   result.query_begin = i;
   result.cigar = build_cigar(ops, result.query_begin, result.query_end, m);
   return result;
+}
+
+AlignmentResult smith_waterman_striped(const std::string& target,
+                                       const std::string& query,
+                                       int match_score, int mismatch_penalty,
+                                       int gap_open_penalty,
+                                       int gap_extend_penalty) {
+#ifdef __AVX2__
+  return smith_waterman_striped_impl<Avx2Ops>(
+      target, query, match_score, mismatch_penalty, gap_open_penalty,
+      gap_extend_penalty);
+#else
+  return smith_waterman_striped_impl<Sse2Ops>(
+      target, query, match_score, mismatch_penalty, gap_open_penalty,
+      gap_extend_penalty);
+#endif
 }
 
 }  // namespace
