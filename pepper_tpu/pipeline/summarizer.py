@@ -84,10 +84,16 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
         summary.generate_max_insert_summary(all_reads)
         if truth is not None:
             summary.generate_labels(*truth)
+        # mirror of call_variant.resolve_device_pileup's blockers (the
+        # fused flow serves only the non-quantized lstm transducer) so a
+        # direct caller can never get packages a runner won't serve
         device_pileup = (getattr(options, "device_pileup", False)
                          and not options.train_mode
                          and not options.use_hp_info
-                         and not getattr(options, "dry", False))
+                         and not getattr(options, "dry", False)
+                         and not getattr(options, "quantized", False)
+                         and getattr(options, "model_type",
+                                     "lstm") == "lstm")
         extra = {} if options.use_hp_info else {
             "build_window_images": not device_pileup}
         windows = summary.generate_summary(

@@ -104,7 +104,7 @@ class LegacyVariantSummary(PolishSummary):
                     alt = seq[read_index:read_index + length].tobytes() \
                         .decode()
                     # padded with '*' to the longest insert (:220-231)
-                    for i in range(self.longest_insert_count[anchor]):
+                    for i in range(self.longest_insert_count.get(anchor, 0)):
                         insert_labels[(anchor, i)] = (
                             alt[i] if i < len(alt) else "*")
                 read_index += length
@@ -124,7 +124,7 @@ class LegacyVariantSummary(PolishSummary):
         for pos in range(self.ref_start, self.ref_end + 1):
             self.ref_image.append(get_reference_feature_index(
                 self.reference_sequence[pos - self.ref_start]))
-            for _ in range(self.longest_insert_count[pos]):
+            for _ in range(self.longest_insert_count.get(pos, 0)):
                 self.ref_image.append(0)
 
     # -- public API mirroring the pybind surface ---------------------------
@@ -137,7 +137,7 @@ class LegacyVariantSummary(PolishSummary):
         self._generate_ref_image()
         for pos in range(self.ref_start, self.ref_end + 1):
             self.genomic_pos.append((pos, 0))
-            for ii in range(self.longest_insert_count[pos]):
+            for ii in range(self.longest_insert_count.get(pos, 0)):
                 self.genomic_pos.append((pos, ii + 1))
         self._generate_image()
 
@@ -164,7 +164,7 @@ class LegacyVariantSummary(PolishSummary):
             if not _check_base(b1) or not _check_base(b2):
                 self.bad_label_positions.append(len(self.labels))
             self.genomic_pos.append((pos, 0))
-            for ii in range(self.longest_insert_count[pos]):
+            for ii in range(self.longest_insert_count.get(pos, 0)):
                 self.genomic_pos.append((pos, ii + 1))
                 l1 = self.insert_labels_hp1.get((pos, ii), "\0")
                 l2 = self.insert_labels_hp2.get((pos, ii), "\0")

@@ -195,7 +195,7 @@ class PolishSummary:
                 if self.ref_start <= anchor <= self.ref_end:
                     alt = seq[read_index:read_index + length].tobytes() \
                         .decode()
-                    for i in range(self.longest_insert_count[anchor]):
+                    for i in range(self.longest_insert_count.get(anchor, 0)):
                         base = alt[i] if i < len(alt) else "#"
                         self.insert_labels[(anchor, i)] = base
                 read_index += length
@@ -229,7 +229,7 @@ class PolishSummary:
                                            self.ref_end + 1)):
             self.image.append(pixels[offset])
             position_denom = denom[offset]
-            for ii in range(self.longest_insert_count[pos]):
+            for ii in range(self.longest_insert_count.get(pos, 0)):
                 self.image.append([
                     self._pixel(self.insert_summaries[((pos, ii), j)]
                                 / position_denom * MAX_COLOR)
@@ -244,7 +244,7 @@ class PolishSummary:
                 self._iterate_over_read(batch, r, self.ref_end)
         for pos in range(self.ref_start, self.ref_end + 1):
             self.genomic_pos.append((pos, 0))
-            for ii in range(self.longest_insert_count[pos]):
+            for ii in range(self.longest_insert_count.get(pos, 0)):
                 self.genomic_pos.append((pos, ii + 1))
         self._generate_image()
 
@@ -271,7 +271,7 @@ class PolishSummary:
             if not valid_label(base):
                 self.bad_label_positions.append(len(self.labels))
             self.genomic_pos.append((pos, 0))
-            for ii in range(self.longest_insert_count[pos]):
+            for ii in range(self.longest_insert_count.get(pos, 0)):
                 self.genomic_pos.append((pos, ii + 1))
                 if (pos, ii) in self.insert_labels:
                     insert_base = self.insert_labels[(pos, ii)]
