@@ -75,6 +75,10 @@ def _add_inference_args(parser):
                              "image on the accelerator (one dispatch per "
                              "region batch).")
     parser.add_argument("--device_region_batch", type=int, default=32)
+    parser.add_argument("--num_devices", type=int, default=-1,
+                        help="Shard inference batches over N local "
+                             "accelerator chips (data parallel). -1 (default)"
+                             " = all local devices; 1 = single chip.")
 
 
 def _add_candidate_args(parser):

@@ -50,15 +50,19 @@ class InferenceRunner:
 
             n_devices = len(mesh.devices.ravel())
             self.batch_size = -(-batch_size // n_devices) * n_devices
-            if params is not None:
+            if params is not None and not quantized:
                 self.params = replicate(mesh, params)
         if quantized:
-            if mesh is not None:
-                raise ValueError("quantized serving over a mesh is not "
-                                 "supported yet; drop one of the options")
             from ..models.quantize import quantize_params
 
             self._q_params, self._q_scales = quantize_params(params)
+            if mesh is not None:
+                # int8 weights + scales replicate like float params (None
+                # scale leaves are pytree structure, skipped by tree_map)
+                from ..parallel.mesh import replicate
+
+                self._q_params = replicate(mesh, self._q_params)
+                self._q_scales = replicate(mesh, self._q_scales)
 
     def _forward(self, padded):
         if self.mesh is not None:

@@ -329,6 +329,11 @@ static PyObject *emit_chunk(PyObject *self, PyObject *args) {
             long long route;
             if (get_longlong(PyTuple_GET_ITEM(item, 4), &route) < 0)
                 goto fail;
+            if (route < 0 || route > 2) {
+                PyErr_Format(PyExc_ValueError,
+                             "route must be in [0, 2], got %lld", route);
+                goto fail;
+            }
             if (rec->pos == last_position) continue;
             if (arena_ensure(&lines, (size_t)line_n) < 0) {
                 PyErr_NoMemory();

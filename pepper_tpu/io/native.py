@@ -8,8 +8,32 @@ import subprocess
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libpepperio.so")
+_BUILDINFO_PATH = os.path.join(_NATIVE_DIR, ".buildinfo")
 
 _lib = None
+
+
+def _host_isa_signature() -> str:
+    """ISA fingerprint of this host: the build uses -march=native, so a .so
+    compiled on an AVX2 host and reused from a shared checkout (NFS, baked
+    container image) would SIGILL on a host without those extensions.  The
+    signature gates a rebuild whenever the relevant ISA set changes."""
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    present = set(line.split(":", 1)[1].split())
+                    flags = ",".join(sorted(
+                        x for x in ("ssse3", "sse4_2", "avx", "avx2",
+                                    "avx512f", "bmi2", "fma")
+                        if x in present))
+                    break
+    except OSError:
+        pass
+    return f"{platform.machine()}:{flags}"
 
 
 def _build():
@@ -17,17 +41,30 @@ def _build():
 
     subprocess.run(["make", "-s", f"PYTHON={sys.executable}"],
                    cwd=_NATIVE_DIR, check=True)
+    with open(_BUILDINFO_PATH, "w") as f:
+        f.write(_host_isa_signature())
+
+
+def _needs_rebuild() -> bool:
+    sources = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
+               if f.endswith((".cpp", ".h", ".c"))]
+    if not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in sources):
+        return True
+    try:
+        with open(_BUILDINFO_PATH) as f:
+            stamp = f.read().strip()
+    except OSError:
+        return True
+    return stamp != _host_isa_signature()
 
 
 def get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    sources = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
-               if f.endswith((".cpp", ".h"))]
-    if not os.path.exists(_LIB_PATH) or any(
-            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
-            for s in sources):
+    if _needs_rebuild():
         _build()
     lib = ctypes.CDLL(_LIB_PATH)
 

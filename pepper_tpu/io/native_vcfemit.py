@@ -7,7 +7,7 @@ import importlib.machinery
 import importlib.util
 import os
 
-from .native import _NATIVE_DIR, _build
+from .native import _NATIVE_DIR, _build, _needs_rebuild
 
 _SO_PATH = os.path.join(_NATIVE_DIR, "_pepper_vcfemit.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "vcfemit.c")
@@ -21,7 +21,8 @@ def get_module():
     if _module is not None:
         return _module
     if (not os.path.exists(_SO_PATH)
-            or os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)):
+            or os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+            or _needs_rebuild()):
         _build()
     loader = importlib.machinery.ExtensionFileLoader("_pepper_vcfemit",
                                                      _SO_PATH)

@@ -150,6 +150,11 @@ class PepperOptions:
     compute_dtype: str = "float32"
     quantized: bool = False
     model_type: str = "lstm"   # window-classifier family (models/registry.py)
+    # local chips to shard inference batches over (data parallel): 1 =
+    # single chip (library default, bit-stable tests); -1/0 = all local
+    # devices (the CLI's argparse default, cli/main.py) — the TPU role of
+    # the reference's --callers_per_gpu fan-out (RunInference.py:24-84)
+    num_devices: int = 1
     # fused device-window flow: ship native int8 region images to HBM and
     # gather/inject/classify windows in one dispatch (ops/device_windows.py)
     device_pileup: bool = False

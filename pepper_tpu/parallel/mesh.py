@@ -26,6 +26,26 @@ def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def resolve_num_devices(num_devices: int | None) -> int:
+    """Normalize a --num_devices request against this host's local device
+    count: -1/0/None = all local devices, N>0 = min(N, local).  The
+    production role of the reference's --callers_per_gpu file fan-out
+    (RunInference.py:24-84) — here one process shards batches over chips."""
+    local = jax.local_device_count()
+    if num_devices is None or num_devices <= 0:
+        return local
+    return min(num_devices, local)
+
+
+def local_mesh(num_devices: int | None):
+    """Mesh over the first `resolve_num_devices(n)` local devices, or None
+    when that resolves to a single device (plain single-chip dispatch)."""
+    n = resolve_num_devices(num_devices)
+    if n <= 1:
+        return None
+    return get_mesh(n)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a (B, ...) array batch-sharded over the data axis."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))

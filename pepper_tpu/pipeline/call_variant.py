@@ -116,9 +116,11 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     if options.dry:
         predict_fn = fake_predict
     else:
+        resolve_num_devices(options)
         runner = InferenceRunner(params, batch_size=options.batch_size,
                                  quantized=options.quantized,
-                                 model_type=options.model_type)
+                                 model_type=options.model_type,
+                                 mesh=_inference_mesh(options))
         predict_fn = runner.predict
 
     output_file = os.path.join(prediction_dir,
@@ -143,6 +145,23 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     return None
 
 
+def resolve_num_devices(options) -> None:
+    """Resolve options.num_devices (-1/0 = all local chips) against this
+    host's local device count — once, up front, so the device_pileup gate,
+    the summarizer mirror gate and the runners all see the same integer."""
+    from ..parallel.mesh import resolve_num_devices as resolve
+
+    options.num_devices = resolve(getattr(options, "num_devices", 1))
+
+
+def _inference_mesh(options):
+    """Mesh for the data-parallel InferenceRunner, or None (single chip).
+    Call resolve_num_devices(options) first."""
+    from ..parallel.mesh import local_mesh
+
+    return local_mesh(getattr(options, "num_devices", 1))
+
+
 def resolve_device_pileup(options) -> None:
     """Clear options.device_pileup when the fused device-window flow
     cannot serve the request (it classifies with the bf16/f32 lstm
@@ -154,12 +173,18 @@ def resolve_device_pileup(options) -> None:
     blockers = []
     if options.dry:
         blockers.append("--dry")
+    if options.train_mode:
+        blockers.append("train_mode")
     if options.use_hp_info:
         blockers.append("--use_hp_info")
     if options.quantized:
         blockers.append("--quantized")
     if getattr(options, "model_type", "lstm") != "lstm":
         blockers.append(f"--model_type {options.model_type}")
+    if getattr(options, "num_devices", 1) != 1:
+        # the fused region-batch dispatch is single-chip; a multi-chip
+        # request is better served by the host flow sharded over the mesh
+        blockers.append(f"--num_devices {options.num_devices}")
     if blockers:
         log_info("DEVICE PILEUP DISABLED (unsupported with "
                  f"{', '.join(blockers)}); using the host window flow")
@@ -190,7 +215,8 @@ def _make_predict_fn(options, params):
         compute_dtype=getattr(options, "compute_dtype", "float32"),
         window=size_options.CANDIDATE_WINDOW_SIZE + 1,
         features=size_options.IMAGE_HEIGHT,
-        quantized=options.quantized, model_type=options.model_type)
+        quantized=options.quantized, model_type=options.model_type,
+        mesh=_inference_mesh(options))
     return runner.predict
 
 
@@ -269,8 +295,12 @@ def call_variant(options, params=None):
     params: transducer param pytree (None + options.dry uses the label
     passthrough backend)."""
     start_time = time.time()
+    resolve_num_devices(options)
     resolve_device_pileup(options)
     os.makedirs(options.output_dir, exist_ok=True)
+    if options.num_devices > 1 and not options.dry:
+        log_info(f"INFERENCE SHARDED OVER {options.num_devices} "
+                 "LOCAL DEVICES")
 
     bam_handler = BamReader(options.bam)
     fasta_handler = FastaReader(options.fasta)

@@ -104,14 +104,17 @@ def run_inference(options, image_dir: str, output_dir: str, params=None):
     runner = None
     if not options.dry:
         from ..options import ImageOptions, ImageOptionsHP
+        from .call_variant import _inference_mesh, resolve_num_devices
 
+        resolve_num_devices(options)
         size_options = (ImageOptionsHP if options.use_hp_info
                         else ImageOptions)
         runner = InferenceRunner(
             params, batch_size=options.batch_size,
             window=size_options.CANDIDATE_WINDOW_SIZE + 1,
             features=size_options.IMAGE_HEIGHT,
-            quantized=options.quantized, model_type=options.model_type)
+            quantized=options.quantized, model_type=options.model_type,
+            mesh=_inference_mesh(options))
     batch_no = 0
     with PredictionStore(output_file, "w") as store:
         for image_file in _image_files(image_dir):

@@ -92,6 +92,7 @@ def create_region_summary(options, bam_handler, fasta_handler, contig: str,
                          and not options.use_hp_info
                          and not getattr(options, "dry", False)
                          and not getattr(options, "quantized", False)
+                         and getattr(options, "num_devices", 1) == 1
                          and getattr(options, "model_type",
                                      "lstm") == "lstm")
         extra = {} if options.use_hp_info else {

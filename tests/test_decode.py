@@ -359,13 +359,23 @@ def _parse_tbi_chunk_starts(path):
     return starts
 
 
-def test_parallel_vcf_emission_matches_sequential(fasta, tmp_path):
+@pytest.mark.parametrize("engine", ["native", "python"])
+def test_parallel_vcf_emission_matches_sequential(fasta, tmp_path,
+                                                  monkeypatch, engine):
     """write_vcf_records_parallel: identical decompressed contents + totals
     vs the sequential writer across all 5 files, multi-contig, with valid
-    rebased tabix offsets (every chunk start lands on a record start)."""
+    rebased tabix offsets (every chunk start lands on a record start).
+
+    Parameterized over both engines: the native `_pepper_vcfemit` path
+    short-circuits before the pool, so PEPPER_PY_VCF=1 is required to
+    exercise the pure-Python pool branch (_emit_compress_worker, flush
+    ordering, voffset rebase) in CI."""
     import concurrent.futures
 
     from pepper_tpu.io.bam_writer import write_fasta
+
+    if engine == "python":
+        monkeypatch.setenv("PEPPER_PY_VCF", "1")
 
     rng = np.random.RandomState(21)
     seqs = {}
@@ -637,3 +647,9 @@ def test_native_vcf_emit_rejects_malformed_items():
         emit([("chr1", 100, "A")], (10.0, 10.0, 10.0, 10.0), -1, 1)
     with pytest.raises(TypeError):
         emit(["not-a-tuple"], (10.0, 10.0, 10.0, 10.0), -1, 1)
+    # a 5-tuple route outside [0, 2] must raise ValueError (was an OOB
+    # counts[] write)
+    for route in (-1, 3, 7):
+        with pytest.raises(ValueError):
+            emit([("chr1", 100, 101, b"chr1\t101\t.\tA\tT\t9\tPASS\t.\n",
+                   route)], (10.0, 10.0, 10.0, 10.0), -1, 1)
