@@ -3,17 +3,21 @@
 Semantics from MergeVariants.py:8-79 + MergedVcfWriter.py:19-51: DeepVariant
 records positionally override PEPPER records; output carries a FORMAT C
 field (P=PEPPER, DV=DeepVariant) and DeepVariant AD drops the ref entry.
-"""
+
+Unlike the reference (which buffers the whole DeepVariant set in a
+positional dict, MergeVariants.py:62-75), sorted inputs stream through a
+two-pointer merge in O(1) memory — WGS-scale merges stay memory-flat.  A
+cheap (contig, pos)-only pre-pass detects unsorted input and falls back to
+the positional-dict path, which is order-independent."""
 
 from __future__ import annotations
 
+import heapq
 import os
-from collections import defaultdict
 
 from ..io.bgzf_writer import BgzfWriter
 from ..io.tabix import TabixIndexBuilder
-from ..io.vcf_reader import read_vcf
-from .vcf_writer import _format_float
+from ..io.vcf_reader import _open_text, read_vcf
 from ..pipeline.regions import log_info
 
 
@@ -55,28 +59,83 @@ _MERGED_HEADER_LINES = [
 ]
 
 
+def _make_position_key(contigs):
+    """(contig, pos) -> sortable key: header contigs by header rank,
+    unknown contigs after them in lexical order (deterministic across
+    streams, so sortedness checks agree between the inputs)."""
+    rank = {name: i for i, (name, _) in enumerate(contigs)}
+    unknown = len(rank)
+
+    def key(contig, pos):
+        r = rank.get(contig)
+        if r is None:
+            return (unknown, contig, pos)
+        return (r, "", pos)
+
+    return key
+
+
+def _scan_vcf(path, key):
+    """One cheap pass parsing only (contig, pos): returns
+    (is_sorted, record_count)."""
+    last = None
+    is_sorted = True
+    count = 0
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            tab1 = line.find("\t")
+            tab2 = line.find("\t", tab1 + 1)
+            if tab1 < 0 or tab2 < 0:
+                continue
+            count += 1
+            if not is_sorted:
+                continue
+            k = key(line[:tab1], int(line[tab1 + 1:tab2]))
+            if last is not None and k < last:
+                is_sorted = False
+            last = k
+    return is_sorted, count
+
+
+def _dv_stream(dv_paths, key):
+    """Single (contig-rank, pos)-ordered DeepVariant stream over one or two
+    sorted files.  heapq.merge is stable, so at equal positions the later
+    file's record comes last — matching the dict-overwrite semantics of
+    processing snps then indels (MergeVariants.py:66-72)."""
+    streams = [read_vcf(path) for path in dv_paths]
+    return heapq.merge(*streams, key=lambda r: key(r.contig, r.start))
+
+
 def merge_vcf_records(options):
-    pepper_records = list(read_vcf(options.vcf_pepper))
-    positional_dv = defaultdict()
-    total_dv = 0
     if getattr(options, "vcf_deepvariant", None):
-        for record in read_vcf(options.vcf_deepvariant):
-            positional_dv[(record.contig, record.start)] = record
-            total_dv += 1
-        dv_path = options.vcf_deepvariant
+        dv_paths = [options.vcf_deepvariant]
     else:
-        for path in (options.vcf_deepvariant_snps,
-                     options.vcf_deepvariant_indels):
-            for record in read_vcf(path):
-                positional_dv[(record.contig, record.start)] = record
-                total_dv += 1
-        dv_path = options.vcf_deepvariant_snps
-    log_info(f"TOTAL VARIANTS IN DeepVariant: {total_dv}")
+        dv_paths = [options.vcf_deepvariant_snps,
+                    options.vcf_deepvariant_indels]
 
     contigs, pepper_sample = _read_contig_header(options.vcf_pepper)
-    _, dv_sample = _read_contig_header(dv_path)
+    _, dv_sample = _read_contig_header(dv_paths[0])
     if pepper_sample != dv_sample:
         raise ValueError("SAMPLE NAMES IN TWO VCFs DO NOT MATCH.")
+
+    key = _make_position_key(contigs)
+    scans = [_scan_vcf(path, key)
+             for path in [options.vcf_pepper] + dv_paths]
+    total_dv = sum(count for _, count in scans[1:])
+    log_info(f"TOTAL VARIANTS IN DeepVariant: {total_dv}")
+    streamed = all(is_sorted for is_sorted, _ in scans)
+    positional_dv = None
+    if streamed:
+        log_info("SORTED INPUTS: USING THE STREAMED TWO-POINTER MERGE")
+    else:
+        log_info("UNSORTED INPUT DETECTED: BUFFERING DeepVariant "
+                 "RECORDS POSITIONALLY")
+        positional_dv = {}
+        for path in dv_paths:
+            for record in read_vcf(path):
+                positional_dv[(record.contig, record.start)] = record
 
     header_lines = list(_MERGED_HEADER_LINES)
     for contig, length in contigs:
@@ -91,18 +150,35 @@ def merge_vcf_records(options):
     os.makedirs(options.output_dir, exist_ok=True)
     tabix = TabixIndexBuilder()
     total_pepper_calls = total_dv_calls = total_pass = 0
+    dv_iter = iter(_dv_stream(dv_paths, key)) if streamed else None
+    dv_next = next(dv_iter, None) if streamed else None
+    held_key = held_record = None
     with open(output_path, "wb") as raw:
         writer = BgzfWriter(raw)
         writer.write(header.encode())
-        for record in pepper_records:
-            key = (record.contig, record.start)
-            is_dv = False
-            if key in positional_dv:
-                final = positional_dv[key]
+        for record in read_vcf(options.vcf_pepper):
+            position_key = key(record.contig, record.start)
+            if streamed:
+                # advance the DV pointer through everything at or before
+                # this position; the LAST record at an equal position wins
+                # (dict-overwrite semantics) and stays held so duplicate
+                # PEPPER records at one position all see it
+                while dv_next is not None and key(
+                        dv_next.contig, dv_next.start) <= position_key:
+                    if key(dv_next.contig,
+                           dv_next.start) == position_key:
+                        held_key, held_record = position_key, dv_next
+                    dv_next = next(dv_iter, None)
+                dv_hit = held_record if held_key == position_key else None
+            else:
+                dv_hit = positional_dv.get((record.contig, record.start))
+            if dv_hit is not None:
+                final = dv_hit
                 is_dv = True
                 total_dv_calls += 1
             else:
                 final = record
+                is_dv = False
                 total_pepper_calls += 1
             record_filter = ("PASS" if "PASS" in final.filters
                              else "refCall")

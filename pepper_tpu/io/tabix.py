@@ -3,13 +3,14 @@
 Same UCSC binning + 16kb linear index as BAI; header per the tabix spec
 (preset format=2 for VCF).
 
-`add`/`add_many` are on the VCF-emission hot path, so they only append to
-per-ref segment stores (plain lists for scalar adds, numpy arrays for bulk
-adds); binning, chunk merging, the linear index and the serialized
-bin/chunk stream are all built vectorized in `write` (records arrive in
-increasing virtual-offset order, which makes the adjacent-chunk merge a
-stable-sort + boundary scan).  Byte-identical to the incremental
-reference algorithm (tests/test_tabix_builder.py).
+`add`/`add_many` fold records into compact per-ref state as they arrive
+(bin -> merged chunk list, plus a min-voff linear-index array), so memory
+is O(bins + 16kb windows) — flat in the record count, which matters for
+WGS-scale streamed merges.  `add_many` stays vectorized per batch: records
+arrive in increasing virtual-offset order, so the global stable-sort chunk
+merge decomposes into per-batch merges plus a head-merge against each
+bin's last chunk.  Byte-identical to the incremental reference algorithm
+(tests/test_tabix_builder.py).
 """
 
 from __future__ import annotations
@@ -37,69 +38,79 @@ def _reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
     return bins
 
 
+_SENTINEL = np.iinfo(np.int64).max
+
+
 class TabixIndexBuilder:
     def __init__(self):
         self._names: list[str] = []
         self._name_ids: dict[str, int] = {}
-        # per ref: list of segments; a segment is a 4-tuple of parallel
-        # (begs, ends, voff_starts, voff_ends) — plain lists (scalar adds)
-        # or int64 arrays (bulk adds), in arrival order
-        self._refs: list[list[tuple]] = []
+        # per ref: bin id -> flat [beg0, end0, beg1, end1, ...] chunk list
+        # (contiguity-merged on arrival) and a sentinel-filled min-voff
+        # linear-index array grown geometrically
+        self._bins: list[dict[int, list[int]]] = []
+        self._linear: list[np.ndarray] = []
+        self._n_intv: list[int] = []
 
-    def _segments(self, contig: str) -> list:
+    def _ref(self, contig: str) -> int:
         ref = self._name_ids.get(contig)
         if ref is None:
             ref = self._name_ids[contig] = len(self._names)
             self._names.append(contig)
-            self._refs.append([])
-        return self._refs[ref]
+            self._bins.append({})
+            self._linear.append(np.full(64, _SENTINEL, np.int64))
+            self._n_intv.append(0)
+        return ref
+
+    def _grow_linear(self, ref: int, need: int) -> np.ndarray:
+        lin = self._linear[ref]
+        if need > len(lin):
+            grown = np.full(max(need, 2 * len(lin)), _SENTINEL, np.int64)
+            grown[:len(lin)] = lin
+            self._linear[ref] = lin = grown
+        if need > self._n_intv[ref]:
+            self._n_intv[ref] = need
+        return lin
 
     def add(self, contig: str, beg: int, end: int, voff_start: int,
             voff_end: int) -> None:
         """Register a record spanning [beg, end) 0-based at the given BGZF
         virtual offsets.  Records must arrive in file-write order
         (increasing virtual offset), which VCF emission guarantees."""
-        segments = self._segments(contig)
-        if not segments or not isinstance(segments[-1][0], list):
-            segments.append(([], [], [], []))
-        begs, ends, starts, stops = segments[-1]
-        begs.append(beg)
-        ends.append(end)
-        starts.append(voff_start)
-        stops.append(voff_end)
+        ref = self._ref(contig)
+        chunks = self._bins[ref].setdefault(reg2bin(beg, end), [])
+        if chunks and chunks[-1] == voff_start:
+            chunks[-1] = voff_end
+        else:
+            chunks.append(voff_start)
+            chunks.append(voff_end)
+        w0 = beg >> 14
+        w1 = (max(beg + 1, end) - 1) >> 14
+        lin = self._grow_linear(ref, w1 + 1)
+        if w1 == w0:
+            if voff_start < lin[w0]:
+                lin[w0] = voff_start
+        else:
+            seg = lin[w0:w1 + 1]
+            np.minimum(seg, voff_start, out=seg)
 
     def add_many(self, contig: str, begs, ends, voff_starts,
                  voff_ends) -> None:
         """Bulk `add` for one contig run (equal-length sequences, in
-        increasing virtual-offset order)."""
-        self._segments(contig).append(
-            (np.asarray(begs, np.int64), np.asarray(ends, np.int64),
-             np.asarray(voff_starts, np.int64),
-             np.asarray(voff_ends, np.int64)))
-
-    def _columns(self, ref: int):
-        segments = self._refs[ref]
-        if not segments:
-            zeros = np.zeros(0, np.int64)
-            return zeros, zeros, zeros, zeros
-        if len(segments) == 1:
-            return tuple(np.asarray(c, np.int64) for c in segments[0])
-        return tuple(
-            np.concatenate([np.asarray(seg[i], np.int64)
-                            for seg in segments])
-            for i in range(4))
-
-    def _build_ref(self, ref: int):
-        """-> (serialized bins+chunks bytes incl. n_bin header,
-               linear index int64 array)."""
-        begs, ends, starts, stops = self._columns(ref)
+        increasing virtual-offset order): the batch is chunk-merged
+        vectorized (stable sort by bin + contiguity boundary scan), then
+        folded into the per-bin state with a head merge — equivalent to
+        per-record adds because records between two same-bin records
+        always break voff contiguity."""
+        begs = np.asarray(begs, np.int64)
+        ends = np.asarray(ends, np.int64)
+        starts = np.asarray(voff_starts, np.int64)
+        stops = np.asarray(voff_ends, np.int64)
         n = len(begs)
+        if n == 0:
+            return
+        ref = self._ref(contig)
         bins = _reg2bin_vec(begs, ends)
-
-        # group records by bin, preserving arrival order within each bin;
-        # merge chunks that are contiguous in virtual-offset space (equal to
-        # the incremental chunks[-1][1] == voff_start merge: records between
-        # two same-bin records always break voff contiguity)
         order = np.argsort(bins, kind="stable")
         b_sorted = bins[order]
         s_sorted = starts[order]
@@ -110,65 +121,56 @@ class TabixIndexBuilder:
                              | (s_sorted[1:] != e_sorted[:-1]))
         chunk_idx = np.flatnonzero(new_chunk)
         chunk_beg = s_sorted[chunk_idx]
-        chunk_end = e_sorted[np.append(chunk_idx[1:] - 1, n - 1)] \
-            if n else np.zeros(0, np.int64)
+        chunk_end = e_sorted[np.append(chunk_idx[1:] - 1, n - 1)]
         chunk_bin = b_sorted[chunk_idx]
 
-        # serialize [n_bin] {bin_id, n_chunk, chunks[16B]} in one buffer:
-        # chunk pairs are already contiguous per ascending bin, so the
-        # stream is the chunk-pair payload with an 8-byte header scattered
-        # in at each bin start
-        unique_bins, bin_counts = (np.unique(chunk_bin,
-                                             return_counts=True)
-                                   if len(chunk_bin)
-                                   else (np.zeros(0, np.int64),
-                                         np.zeros(0, np.int64)))
-        n_bins = len(unique_bins)
-        n_chunks = len(chunk_beg)
-        blob = np.zeros(4 + 8 * n_bins + 16 * n_chunks, np.uint8)
-        blob[:4].view("<i4")[0] = n_bins
-        cum = np.concatenate([[0], np.cumsum(bin_counts)])
-        header_off = 4 + 8 * np.arange(n_bins, dtype=np.int64) \
-            + 16 * cum[:-1]
-        headers = np.empty((n_bins, 2), "<u4")
-        headers[:, 0] = unique_bins
-        headers[:, 1] = bin_counts
-        header_bytes = headers.view(np.uint8).reshape(n_bins, 8)
-        blob[(header_off[:, None]
-              + np.arange(8, dtype=np.int64)).ravel()] = \
-            header_bytes.ravel()
-        pairs = np.empty((n_chunks, 2), "<u8")
-        pairs[:, 0] = chunk_beg
-        pairs[:, 1] = chunk_end
-        chunk_off = (np.repeat(header_off + 8, bin_counts)
-                     + 16 * (np.arange(n_chunks, dtype=np.int64)
-                             - np.repeat(cum[:-1], bin_counts)))
-        blob[(chunk_off[:, None]
-              + np.arange(16, dtype=np.int64)).ravel()] = \
-            pairs.view(np.uint8).ravel()
+        bins_dict = self._bins[ref]
+        bin_starts = np.flatnonzero(
+            np.concatenate([[True], chunk_bin[1:] != chunk_bin[:-1]]))
+        bounds = np.append(bin_starts, len(chunk_bin))
+        for k in range(len(bin_starts)):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            flat = np.empty(2 * (hi - lo), np.int64)
+            flat[0::2] = chunk_beg[lo:hi]
+            flat[1::2] = chunk_end[lo:hi]
+            pairs = flat.tolist()
+            chunks = bins_dict.setdefault(int(chunk_bin[lo]), [])
+            if chunks and chunks[-1] == pairs[0]:
+                chunks[-1] = pairs[1]
+                pairs = pairs[2:]
+            chunks.extend(pairs)
 
-        # linear index: min voff_start per overlapped 16kb window, then
-        # forward-fill (missing windows inherit the previous value, 0 before
-        # the first)
-        if n == 0:
-            return blob.tobytes(), np.zeros(0, np.int64)
         w0 = begs >> 14
         w1 = (np.maximum(begs + 1, ends) - 1) >> 14
-        n_intv = int(w1.max()) + 1
-        sentinel = np.iinfo(np.int64).max
-        linear = np.full(n_intv, sentinel, np.int64)
-        np.minimum.at(linear, w0, starts)
-        spans = np.flatnonzero(w1 > w0)
-        for i in spans.tolist():  # multi-window records are rare in VCF
-            lo, hi = int(w0[i]) + 1, int(w1[i]) + 1
-            np.minimum.at(linear, np.arange(lo, hi), starts[i])
-        missing = linear == sentinel
+        lin = self._grow_linear(ref, int(w1.max()) + 1)
+        np.minimum.at(lin, w0, starts)
+        for i in np.flatnonzero(w1 > w0).tolist():
+            # multi-window records are rare in VCF
+            seg = lin[int(w0[i]) + 1:int(w1[i]) + 1]
+            np.minimum(seg, starts[i], out=seg)
+
+    def _build_ref(self, ref: int):
+        """-> (serialized bins+chunks bytes incl. n_bin header,
+               linear index int64 array)."""
+        bins_dict = self._bins[ref]
+        bin_ids = sorted(bins_dict)
+        parts = [struct.pack("<i", len(bin_ids))]
+        for bin_id in bin_ids:
+            flat = bins_dict[bin_id]
+            parts.append(struct.pack("<Ii", bin_id, len(flat) // 2))
+            parts.append(np.asarray(flat, "<u8").tobytes())
+
+        n_intv = self._n_intv[ref]
+        linear = self._linear[ref][:n_intv].copy()
+        # forward-fill (missing windows inherit the previous value, 0
+        # before the first)
+        missing = linear == _SENTINEL
         if missing.any():
             values = np.where(missing, 0, linear)
             idx = np.where(missing, 0, np.arange(n_intv))
             np.maximum.accumulate(idx, out=idx)
             linear = values[idx]
-        return blob.tobytes(), linear
+        return b"".join(parts), linear
 
     def write(self, path: str) -> None:
         from .bgzf_writer import BgzfWriter

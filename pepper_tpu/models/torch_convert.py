@@ -80,9 +80,19 @@ def transducer_params_from_state_dict(state_dict):
     return params
 
 
+# the reference polish model names its modules gru_encoder / gru_decoder /
+# dense1 (pepper/modules/python/models/simple_model.py:12-25); accept those
+# alongside the short names used by locally-saved state dicts
+_POLISH_KEY_ALIASES = {"gru_encoder": "encoder", "gru_decoder": "decoder",
+                       "dense1": "linear"}
+
+
 def polish_params_from_state_dict(state_dict):
     """Torch polish TransducerGRU (true GRU) state_dict -> params."""
-    sd = _strip_module_prefix(state_dict)
+    sd = {}
+    for key, value in _strip_module_prefix(state_dict).items():
+        head, dot, rest = key.partition(".")
+        sd[f"{_POLISH_KEY_ALIASES.get(head, head)}{dot}{rest}"] = value
     return {
         "encoder": _convert_gru(sd, "encoder"),
         "decoder": _convert_gru(sd, "decoder"),

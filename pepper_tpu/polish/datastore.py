@@ -115,10 +115,12 @@ class PolishPredictionStore:
             contig_start = int(sub["contig_start"][()])
             contig_end = int(sub["contig_end"][()])
             records = []
+            # lexical (string) sort — the reference's quirk (Stitch.py:50
+            # sorts HDF5 keys as strings), which decides override order
+            # when overlapping chunks disagree and chunk ids reach 10+
             chunk_keys = sorted(
-                (k for k in sub.keys()
-                 if k not in ("contig_start", "contig_end")),
-                key=lambda x: int(x))
+                k for k in sub.keys()
+                if k not in ("contig_start", "contig_end"))
             for chunk_key in chunk_keys:
                 chunk = sub[chunk_key]
                 positions = np.stack([chunk["position"][()],

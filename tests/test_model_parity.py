@@ -1,16 +1,30 @@
-"""Semantic parity of the JAX transducer against an equivalently-shaped
-torch model (the reference's architecture, simple_model.py:6-88): same
-weights must give the same probabilities."""
+"""External cross-validation of the JAX models against the REFERENCE's own
+torch classes, imported from /root/reference (not hand-replicated twins):
+
+  * variant window classifier vs
+    pepper_variant/modules/python/models/simple_model.py:6-88 (TransducerGRU:
+    biLSTM(26->256) -> biLSTM(512->256) -> flatten -> 5x Linear+SELU -> 3)
+  * polish consensus model vs
+    pepper/modules/python/models/simple_model.py:5-49 (true biGRU transducer
+    with explicit hidden carry)
+
+Same weights (through models/torch_convert.py) must give the same
+probabilities/logits/hidden state."""
+
+import importlib.util
+import os
+import sys
+import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-import torch.nn as nn  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from pepper_tpu.models.polish_gru import polish_forward  # noqa: E402
 from pepper_tpu.models.torch_convert import (  # noqa: E402
     polish_params_from_state_dict,
     transducer_params_from_state_dict,
@@ -20,43 +34,61 @@ from pepper_tpu.models.transducer import (  # noqa: E402
     init_transducer_params,
     transducer_apply,
 )
-from pepper_tpu.models.rnn import bigru  # noqa: E402
+
+REF_VARIANT_MODEL = ("/root/reference/pepper_variant/modules/python/models/"
+                     "simple_model.py")
+REF_POLISH_MODEL = ("/root/reference/pepper/modules/python/models/"
+                    "simple_model.py")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_VARIANT_MODEL),
+    reason="reference checkout not present")
 
 
-class TorchTransducer(nn.Module):
-    """Reference-equivalent torch model (architecture from SURVEY.md §2.2:
-    biLSTM(26->256) -> biLSTM(512->256) -> flatten -> 5x Linear+SELU -> 3)."""
-
-    def __init__(self, image_features=26, window=33, hidden=256, linear=512,
-                 num_classes_type=3):
-        super().__init__()
-        self.encoder = nn.LSTM(image_features, hidden, num_layers=1,
-                               bidirectional=True, batch_first=True)
-        self.decoder = nn.LSTM(2 * hidden, hidden, num_layers=1,
-                               bidirectional=True, batch_first=True)
-        self.activation = nn.SELU()
-        self.linear_1 = nn.Linear(2 * hidden * window, linear)
-        self.linear_2 = nn.Linear(linear, linear)
-        self.linear_3 = nn.Linear(linear, linear)
-        self.linear_4 = nn.Linear(linear, linear)
-        self.linear_5 = nn.Linear(linear, linear)
-        self.output_layer_type = nn.Linear(linear, num_classes_type)
-
-    def forward(self, x):
-        x, _ = self.encoder(x)
-        x, _ = self.decoder(x)
-        x = torch.flatten(x, 1, 2)
-        for layer in (self.linear_1, self.linear_2, self.linear_3,
-                      self.linear_4):
-            x = self.activation(layer(x))
-        x = self.activation(self.linear_5(x))
-        x = self.output_layer_type(x)
-        return torch.softmax(x, dim=1)
+def load_reference_module(path, name, stubs):
+    """Import a reference source file with its package deps stubbed in
+    sys.modules (the technique test_reference_decode_parity.py uses)."""
+    saved = {key: sys.modules.get(key) for key in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        return module
+    finally:
+        for key, original in saved.items():
+            if original is None:
+                sys.modules.pop(key, None)
+            else:
+                sys.modules[key] = original
 
 
-def test_transducer_matches_torch():
+def _variant_stubs():
+    """The variant model imports only ImageSizeOptions (for the flatten
+    width: CANDIDATE_WINDOW_SIZE + 1 columns)."""
+    options = types.ModuleType("pepper_variant.modules.python.Options")
+
+    class ImageSizeOptions:
+        CANDIDATE_WINDOW_SIZE = 32
+
+    options.ImageSizeOptions = ImageSizeOptions
+    return {
+        "pepper_variant": types.ModuleType("pepper_variant"),
+        "pepper_variant.modules": types.ModuleType("pepper_variant.modules"),
+        "pepper_variant.modules.python":
+            types.ModuleType("pepper_variant.modules.python"),
+        "pepper_variant.modules.python.Options": options,
+    }
+
+
+def test_transducer_matches_reference_torch_model():
+    module = load_reference_module(REF_VARIANT_MODEL,
+                                   "reference_variant_model",
+                                   _variant_stubs())
     torch.manual_seed(0)
-    model = TorchTransducer().eval()
+    model = module.TransducerGRU(image_features=26, gru_layers=1,
+                                 hidden_size=256, num_classes=28,
+                                 num_classes_type=3).eval()
     params = transducer_params_from_state_dict(model.state_dict())
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
@@ -80,25 +112,56 @@ def test_transducer_hp_shape():
     np.testing.assert_allclose(np.asarray(probs).sum(axis=1), 1.0, atol=1e-5)
 
 
-def test_bigru_matches_torch():
-    torch.manual_seed(2)
-    tgru = nn.GRU(10, 16, num_layers=1, bidirectional=True,
-                  batch_first=True).eval()
-    sd = {f"g.{k}": v for k, v in tgru.state_dict().items()}
-    sd["linear.weight"] = torch.zeros(5, 32)
-    sd["linear.bias"] = torch.zeros(5)
-    # reuse the converter's GRU path via polish converter naming
-    sd = {k.replace("g.", "encoder.").replace("linear.", "linear."): v
-          for k, v in sd.items()}
-    sd.update({k.replace("encoder.", "decoder."): v for k, v in sd.items()
-               if k.startswith("encoder.")})
-    params = polish_params_from_state_dict(sd)
+def test_polish_gru_matches_reference_torch_model():
+    """The polish model cross-validated against the reference's own class,
+    including the hidden-state transpose convention ((B, 2, H) here vs the
+    model's internal (2, B, H)) and the reference's gru_encoder /
+    gru_decoder / dense1 state-dict naming."""
+    module = load_reference_module(REF_POLISH_MODEL, "reference_polish_model",
+                                   {})
+    torch.manual_seed(3)
+    model = module.TransducerGRU(image_channels=1, image_features=10,
+                                 gru_layers=1, hidden_size=128,
+                                 num_classes=5).eval()
+    assert set(model.state_dict()) >= {"gru_encoder.weight_ih_l0",
+                                       "dense1.weight"}
+    params = polish_params_from_state_dict(model.state_dict())
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    rng = np.random.RandomState(3)
-    x = rng.randn(5, 7, 10).astype(np.float32)
+    rng = np.random.RandomState(4)
+    x = (rng.rand(3, 20, 10).astype(np.float32) * 254)
+    hidden = (rng.randn(3, 2, 128).astype(np.float32) * 0.1)
+
     with torch.no_grad():
-        expected, _ = tgru(torch.from_numpy(x))
-    actual, _ = bigru(jnp.asarray(x),
-                      jax.tree_util.tree_map(jnp.asarray, params["encoder"]))
-    np.testing.assert_allclose(np.asarray(actual), expected.numpy(),
-                               atol=1e-5, rtol=1e-4)
+        expected, expected_hidden = model(torch.from_numpy(x),
+                                          torch.from_numpy(hidden))
+    logits, hidden_final = polish_forward(params, jnp.asarray(x),
+                                          jnp.asarray(hidden))
+    np.testing.assert_allclose(np.asarray(logits), expected.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(hidden_final),
+                               expected_hidden.numpy(), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_polish_gru_zero_hidden_matches_reference():
+    """Fresh-window path: zero initial hidden, several window lengths."""
+    module = load_reference_module(REF_POLISH_MODEL, "reference_polish_model",
+                                   {})
+    torch.manual_seed(7)
+    model = module.TransducerGRU(image_channels=1, image_features=10,
+                                 gru_layers=1, hidden_size=128,
+                                 num_classes=5).eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, polish_params_from_state_dict(model.state_dict()))
+    rng = np.random.RandomState(8)
+    for batch, length in ((1, 1), (2, 50), (4, 100)):
+        x = (rng.rand(batch, length, 10).astype(np.float32) * 254)
+        hidden = np.zeros((batch, 2, 128), np.float32)
+        with torch.no_grad():
+            expected, _ = model(torch.from_numpy(x),
+                                torch.from_numpy(hidden))
+        logits, _ = polish_forward(params, jnp.asarray(x),
+                                   jnp.asarray(hidden))
+        np.testing.assert_allclose(np.asarray(logits), expected.numpy(),
+                                   atol=2e-4, rtol=1e-4)
