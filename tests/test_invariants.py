@@ -91,12 +91,23 @@ def test_reference_torch_checkpoint_roundtrip(tmp_path):
     load_reference_checkpoint and matches the torch forward."""
     torch = pytest.importorskip("torch")
 
-    from test_model_parity import TorchTransducer
+    import os
+
+    from test_model_parity import (
+        REF_VARIANT_MODEL, _variant_stubs, load_reference_module,
+    )
     from pepper_tpu.models.checkpoint import load_params
     from pepper_tpu.models.transducer import transducer_apply
 
+    if not os.path.exists(REF_VARIANT_MODEL):
+        pytest.skip("reference checkout not present")
+    module = load_reference_module(REF_VARIANT_MODEL,
+                                   "reference_variant_model_ckpt",
+                                   _variant_stubs())
     torch.manual_seed(7)
-    model = TorchTransducer().eval()
+    model = module.TransducerGRU(image_features=26, gru_layers=1,
+                                 hidden_size=256, num_classes=28,
+                                 num_classes_type=3).eval()
     path = str(tmp_path / "ref_model.pkl")
     torch.save({
         "model_state_dict": model.state_dict(),
