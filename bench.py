@@ -32,7 +32,8 @@ from pepper_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
-def bench_jax(batch=4096, n_short=10, n_long=50, compute_dtype="bfloat16"):
+def bench_jax(batch=4096, n_short=10, n_long=50, compute_dtype="bfloat16",
+              mode=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,20 +41,51 @@ def bench_jax(batch=4096, n_short=10, n_long=50, compute_dtype="bfloat16"):
     from pepper_tpu.models.transducer import (
         TransducerConfig, init_transducer_params, transducer_apply)
 
+    # Default serving config for the headline: static-scale int8 (round 3) —
+    # measured 1.10M windows/s vs 942k bf16 on the same chip/day; VCF output
+    # equality with the bf16 path is asserted on a trained model in
+    # tests/test_trained_e2e.py.  The reference's own recommended CPU serving
+    # is its quantized ONNX mode (CallVariantsArguments.py:204-208), so the
+    # quantized config is the apples-to-apples flagship.  Override with
+    # PEPPER_BENCH_MODE=bf16|int8_dynamic|int8_static.
+    if mode is None:
+        mode = os.environ.get("PEPPER_BENCH_MODE", "int8_static")
     config = TransducerConfig()
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    params = init_transducer_params(jax.random.PRNGKey(0), config, dtype)
+    params = init_transducer_params(jax.random.PRNGKey(0), config,
+                                    jnp.float32)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randint(-125, 126,
                                 size=(batch, config.window,
                                       config.image_features)), dtype)
+
+    if mode == "int8_static":
+        from pepper_tpu.models.quantize import (
+            quantize_params_static, transducer_infer_static)
+
+        tree = jax.tree_util.tree_map(jnp.asarray,
+                                      quantize_params_static(params))
+        forward = partial(transducer_infer_static, compute_dtype=dtype)
+        params = tree
+    elif mode == "int8_dynamic":
+        from pepper_tpu.models.quantize import (
+            quantize_params, transducer_infer_quantized)
+
+        q, s = quantize_params(params)
+        q = jax.tree_util.tree_map(jnp.asarray, q)
+        forward = lambda p, xi: transducer_infer_quantized(  # noqa: E731
+            p, s, xi, dtype)
+        params = q
+    else:
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        forward = lambda p, xi: transducer_apply(p, xi)  # noqa: E731
 
     @partial(jax.jit, static_argnames=("iters",))
     def run(params, x, iters):
         def body(acc, i):
             # perturb the input so every iteration is a distinct execution
             xi = x + i.astype(x.dtype)
-            probs = transducer_apply(params, xi)
+            probs = forward(params, xi)
             return acc + jnp.sum(probs.astype(jnp.float32)), ()
 
         total, _ = jax.lax.scan(body, jnp.float32(0.),
@@ -82,11 +114,19 @@ def bench_torch_cpu(batch=512, iters=3):
     try:
         import torch
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-        from test_model_parity import TorchTransducer
+        # the reference's own torch class (parity tests import it the same
+        # way; the hand-written twin was retired in round 2)
+        from test_model_parity import (
+            REF_VARIANT_MODEL, _variant_stubs, load_reference_module)
+        module = load_reference_module(REF_VARIANT_MODEL,
+                                       "bench_reference_variant_model",
+                                       _variant_stubs())
     except Exception:
         return None
     torch.set_num_threads(os.cpu_count() or 1)
-    model = TorchTransducer().eval()
+    model = module.TransducerGRU(image_features=26, gru_layers=1,
+                                 hidden_size=256, num_classes=28,
+                                 num_classes_type=3).eval()
     x = torch.randint(-125, 126, (batch, 33, 26)).float()
     with torch.no_grad():
         model(x)  # warmup

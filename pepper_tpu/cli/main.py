@@ -68,6 +68,11 @@ def _add_inference_args(parser):
                         help="Serve int8-quantized weights.")
     parser.add_argument("--no_quantized", dest="quantized",
                         action="store_false")
+    parser.add_argument("--quantize_mode", default="static",
+                        choices=["static", "dynamic"],
+                        help="int8 serving mode: static (exact 1/127 "
+                             "activation scales, fused int8 kernels) or "
+                             "dynamic (per-batch absmax quantization).")
     parser.add_argument("--device_pileup", action="store_true",
                         default=False,
                         help="Fused device-window flow: gather + inject + "

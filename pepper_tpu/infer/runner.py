@@ -20,7 +20,7 @@ class InferenceRunner:
                  window: int = ImageOptions.CANDIDATE_WINDOW_SIZE + 1,
                  features: int = ImageOptions.IMAGE_HEIGHT,
                  quantized: bool = False, mesh=None,
-                 model_type: str = "lstm"):
+                 model_type: str = "lstm", quantize_mode: str = "static"):
         import jax.numpy as jnp
 
         self.params = params
@@ -30,6 +30,9 @@ class InferenceRunner:
         self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
                               else jnp.float32)
         self.quantized = quantized
+        if quantize_mode not in ("static", "dynamic"):
+            raise ValueError(f"unknown quantize_mode {quantize_mode!r}")
+        self.quantize_mode = quantize_mode
         self.mesh = mesh
         self.model_type = model_type
         # one dispatch path: every family (incl. lstm) infers through the
@@ -53,16 +56,33 @@ class InferenceRunner:
             if params is not None and not quantized:
                 self.params = replicate(mesh, params)
         if quantized:
-            from ..models.quantize import quantize_params
+            if quantize_mode == "static":
+                import jax
 
-            self._q_params, self._q_scales = quantize_params(params)
-            if mesh is not None:
-                # int8 weights + scales replicate like float params (None
-                # scale leaves are pytree structure, skipped by tree_map)
-                from ..parallel.mesh import replicate
+                from ..models.quantize import quantize_params_static
 
-                self._q_params = replicate(mesh, self._q_params)
-                self._q_scales = replicate(mesh, self._q_scales)
+                tree = quantize_params_static(params)
+                if mesh is not None:
+                    from ..parallel.mesh import replicate
+
+                    tree = replicate(mesh, tree)
+                else:
+                    # device-resident once; numpy leaves would re-transfer
+                    # the weights on every dispatch
+                    tree = jax.tree_util.tree_map(jnp.asarray, tree)
+                self._q_static = tree
+            else:
+                from ..models.quantize import quantize_params
+
+                self._q_params, self._q_scales = quantize_params(params)
+                if mesh is not None:
+                    # int8 weights + scales replicate like float params
+                    # (None scale leaves are pytree structure, skipped by
+                    # tree_map)
+                    from ..parallel.mesh import replicate
+
+                    self._q_params = replicate(mesh, self._q_params)
+                    self._q_scales = replicate(mesh, self._q_scales)
 
     def _forward(self, padded):
         if self.mesh is not None:
@@ -70,6 +90,11 @@ class InferenceRunner:
 
             padded = shard_batch(self.mesh, padded)
         if self.quantized:
+            if self.quantize_mode == "static":
+                from ..models.quantize import transducer_infer_static
+
+                return transducer_infer_static(self._q_static, padded,
+                                               self.compute_dtype)
             from ..models.quantize import transducer_infer_quantized
 
             return transducer_infer_quantized(self._q_params, self._q_scales,

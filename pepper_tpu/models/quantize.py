@@ -160,3 +160,165 @@ def transducer_infer_quantized(quantized, scales, x,
                                compute_dtype=jnp.bfloat16):
     """Jitted int8 inference: (B, T, F) float -> (B, 3) float32 probs."""
     return _infer_int8(quantized, scales, x, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Static-scale int8 serving (no dynamic activation quantization)
+# ---------------------------------------------------------------------------
+#
+# The dynamic path above pays, per batch, (a) absmax reductions + rescales
+# over every activation tensor and (b) full f32 xw round-trips through HBM
+# (it cannot use the fused-projection kernels).  Both costs vanish with a
+# static design built on a structural fact of this model: every activation
+# that feeds a big matmul after the encoder is an LSTM hidden output
+# h = o*tanh(c) in (-1, 1), so its int8 scale is EXACTLY 1/127 — known at
+# compile time, no calibration pass, no stored calibration state:
+#
+#   encoder (bf16 fused kernel)     -> emits round(h*127) int8 streams
+#   decoder input projection        -> int8 x int8 MXU matmul in-kernel
+#                                      (the dominant 2.33 ms stage)
+#   decoder                         -> emits int8 streams
+#   linear_1 (t-major head einsum)  -> int8 x int8 MXU matmul
+#   linear_2..5 + output head       -> bf16 (only ~13 GFLOP of the ~850)
+#
+# Weights quantize per-output-channel (absmax/127) like the dynamic path;
+# the per-matmul rescale folds the weight scale and the 1/127 activation
+# scale into one (1, N) f32 multiply of the int32 accumulator.  Fills the
+# same role as the reference's ONNX dynamic-QUInt8 serving
+# (predict_distributed_cpu.py:188-193) without its per-batch quant cost.
+
+
+def _quantize_cols(w):
+    """(K, N) float -> int8 codes, (1, N) per-output-column scales."""
+    w = np.asarray(w, np.float32)
+    scale = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-8) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def quantize_params_static(params):
+    """float param pytree -> static int8 serving tree.
+
+    decoder w_ih_* and linear_1 w become int8 with fused rescales
+    (w_scale/127 — the /127 dequantizes the int8 activation codes); the
+    encoder, all recurrent weights, biases and the small head layers pass
+    through as float32."""
+    tree = {}
+    for name, node in params.items():
+        tree[name] = {k: np.asarray(v, np.float32) for k, v in node.items()}
+
+    dec = tree["decoder"]
+    for sfx in ("f", "b"):
+        q, scale = _quantize_cols(dec[f"w_ih_{sfx}"])
+        dec[f"w_ih_{sfx}"] = q
+        dec[f"as_{sfx}"] = scale / 127.0
+    lin1 = tree["linear_1"]
+    q, scale = _quantize_cols(lin1["w"])
+    lin1["w"] = q
+    lin1["as"] = (scale / 127.0).reshape(-1)
+    return tree
+
+
+def _quantize_h(h):
+    """float (-1, 1) hidden stream -> int8 codes q = round(h*127); matches
+    the kernel epilogue bit-for-bit (round-half-to-even, no clip needed
+    because |h| < 1 keeps round(h*127) within [-127, 127])."""
+    return jnp.round(h.astype(jnp.float32) * 127.0).astype(jnp.int8)
+
+
+def _scan_bilstm_to_q(xt, params, compute_dtype):
+    """Fallback (non-TPU) encoder: lax.scan recurrence in f32 (matching the
+    kernel's f32 state), int8-coded hidden streams out."""
+    from .rnn import lstm_recurrence
+
+    def direction(w_ih, w_hh, b, reverse):
+        xw = jnp.einsum("tbf,fg->tbg", xt.astype(compute_dtype),
+                        w_ih.astype(compute_dtype)).astype(jnp.float32) + b
+        ys, _ = lstm_recurrence(xw, w_hh.astype(jnp.float32),
+                                reverse=reverse)
+        return _quantize_h(ys)
+
+    return (direction(params["w_ih_f"], params["w_hh_f"], params["b_f"],
+                      False),
+            direction(params["w_ih_b"], params["w_hh_b"], params["b_b"],
+                      True))
+
+
+def _scan_bilstm_q_to_q(x_parts_q, params, compute_dtype):
+    """Fallback decoder: int8 input projections with int32 accumulation,
+    fused rescale, f32 scan recurrence, int8 streams out."""
+    from .rnn import lstm_recurrence
+
+    def direction(sfx, reverse):
+        w_q = params[f"w_ih_{sfx}"]
+        splits, off = [], 0
+        for xp in x_parts_q:
+            splits.append((off, off + xp.shape[2]))
+            off += xp.shape[2]
+        acc = None
+        for xp, (s, e) in zip(x_parts_q, splits):
+            part = jnp.einsum("tbf,fg->tbg", xp, w_q[s:e],
+                              preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+        xw = (acc.astype(jnp.float32) * params[f"as_{sfx}"]
+              + params[f"b_{sfx}"])
+        ys, _ = lstm_recurrence(xw, params[f"w_hh_{sfx}"].astype(jnp.float32),
+                                reverse=reverse)
+        return _quantize_h(ys)
+
+    return direction("f", False), direction("b", True)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "use_kernel"))
+def _infer_static(q, x, compute_dtype, use_kernel):
+    xt = jnp.transpose(x, (1, 0, 2))  # (T, B, F) time-major
+
+    if use_kernel:
+        from ..ops.lstm_kernel import bilstm_fused_static
+
+        enc = {k: (v.astype(compute_dtype) if k.startswith("w") else v)
+               for k, v in q["encoder"].items()}
+        f1q, b1q = bilstm_fused_static((xt.astype(compute_dtype),), enc,
+                                       out_int8=True)
+        dec = dict(q["decoder"])
+        dec["w_hh_f"] = dec["w_hh_f"].astype(compute_dtype)
+        dec["w_hh_b"] = dec["w_hh_b"].astype(compute_dtype)
+        f2q, b2q = bilstm_fused_static(
+            (f1q, b1q), dec, acc_scale=(dec["as_f"], dec["as_b"]),
+            out_int8=True)
+    else:
+        f1q, b1q = _scan_bilstm_to_q(xt, q["encoder"], compute_dtype)
+        f2q, b2q = _scan_bilstm_q_to_q((f1q, b1q), q["decoder"],
+                                       compute_dtype)
+
+    # t-major flatten + linear_1 as two int8 einsums against views of the
+    # quantized weight (rows t-major [fwd|bwd], same layout as the bf16
+    # fused head)
+    T = xt.shape[0]
+    w1q = q["linear_1"]["w"]
+    H = w1q.shape[0] // (2 * T)
+    w1q = w1q.reshape(T, 2 * H, -1)
+    acc = (jnp.einsum("tbh,thl->bl", f2q, w1q[:, :H],
+                      preferred_element_type=jnp.int32)
+           + jnp.einsum("tbh,thl->bl", b2q, w1q[:, H:],
+                        preferred_element_type=jnp.int32))
+    h = (acc.astype(jnp.float32) * q["linear_1"]["as"]
+         + q["linear_1"]["b"])
+
+    h = jax.nn.selu(h).astype(compute_dtype)
+    for name in ("linear_2", "linear_3", "linear_4", "linear_5"):
+        w = q[name]["w"].astype(compute_dtype)
+        h = jax.nn.selu(h @ w + q[name]["b"].astype(compute_dtype))
+    out = q["output_layer_type"]
+    logits = h @ out["w"].astype(compute_dtype) + \
+        out["b"].astype(compute_dtype)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+
+
+def transducer_infer_static(q, x, compute_dtype=jnp.bfloat16):
+    """Static-scale int8 inference: (B, T, F) float -> (B, 3) f32 probs.
+    Uses the int8 fused Pallas kernels on TPU, an exactly-equivalent
+    lax.scan + integer-einsum fallback elsewhere."""
+    from ..ops.lstm_kernel import use_pallas_lstm
+
+    return _infer_static(q, x, compute_dtype, use_pallas_lstm())

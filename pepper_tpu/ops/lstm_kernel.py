@@ -196,6 +196,175 @@ def lstm_direction_fused(x_parts, w_ih_parts, b, w_hh, reverse=False,
     )(*x_parts, *w_ih_parts, b.reshape(1, G), w_hh)
 
 
+def _make_fused_kernel_static(n_parts, x_int8, out_int8):
+    """Fused-projection LSTM kernel with static int8 input/output streams
+    (models/quantize.py's static serving mode).
+
+    x_int8: the feature parts arrive as int8 codes q = round(x*127) of
+    tanh-bounded activations; the input projection runs as an int8xint8
+    MXU matmul with int32 accumulation (~1.8x the bf16 rate on v5e) and one
+    fused rescale acc * (w_scale/127) — the activation scale is EXACTLY
+    1/127 because LSTM hidden outputs are o*tanh(c) in (-1, 1), so there is
+    nothing dynamic to compute.
+
+    out_int8: the hidden stream is emitted as round(h*127) int8, quartering
+    the HBM write (and the next layer's read) vs f32.
+    """
+    import jax.experimental.pallas as pl
+
+    def kernel(*refs):
+        x_refs = refs[:n_parts]
+        w_ih_refs = refs[n_parts:2 * n_parts]
+        if x_int8:
+            acc_scale_ref = refs[2 * n_parts]
+            rest = refs[2 * n_parts + 1:]
+        else:
+            acc_scale_ref = None
+            rest = refs[2 * n_parts:]
+        b_ref, w_hh_ref, out_ref, h_scratch, c_scratch = rest
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scratch[:] = jnp.zeros_like(h_scratch)
+            c_scratch[:] = jnp.zeros_like(c_scratch)
+
+        h = h_scratch[:]
+        c = c_scratch[:]
+        gates = b_ref[0].astype(jnp.float32)
+        if x_int8:
+            acc = jnp.dot(x_refs[0][0], w_ih_refs[0][:],
+                          preferred_element_type=jnp.int32)
+            for x_ref, w_ref in zip(x_refs[1:], w_ih_refs[1:]):
+                acc = acc + jnp.dot(x_ref[0], w_ref[:],
+                                    preferred_element_type=jnp.int32)
+            gates = gates + acc.astype(jnp.float32) * acc_scale_ref[0]
+        else:
+            for x_ref, w_ref in zip(x_refs, w_ih_refs):
+                gates = gates + jnp.dot(x_ref[0], w_ref[:],
+                                        preferred_element_type=jnp.float32)
+        gates = gates + jnp.dot(h.astype(w_hh_ref.dtype), w_hh_ref[:],
+                                preferred_element_type=jnp.float32)
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        h_scratch[:] = h
+        c_scratch[:] = c
+        if out_int8:
+            out_ref[0] = jnp.round(h * 127.0).astype(jnp.int8)
+        else:
+            out_ref[0] = h.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("reverse", "out_int8", "out_dtype", "interpret"))
+def lstm_direction_fused_static(x_parts, w_ih_parts, b, w_hh, acc_scale=None,
+                                reverse=False, out_int8=False,
+                                out_dtype=jnp.bfloat16, interpret=False):
+    """One LSTM direction with static-int8 streams (see
+    _make_fused_kernel_static).
+
+    x_parts: tuple of (T, B, F_i) arrays — all int8 codes (scale 1/127) or
+    all float.  When int8, w_ih_parts are int8 per-output-column quantized
+    weights and acc_scale is the (1, 4H) f32 combined rescale
+    (w_scale / 127) applied once to the summed int32 accumulator.
+    out_int8=True emits round(h*127) int8; else out_dtype floats.
+    """
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    T, B, _ = x_parts[0].shape
+    H = w_hh.shape[0]
+    G = 4 * H
+    x_int8 = x_parts[0].dtype == jnp.int8
+    tile = B_TILE  # int8/bf16 streams: full tile fits VMEM
+    if not x_int8 and jnp.dtype(x_parts[0].dtype).itemsize > 2:
+        tile = B_TILE // 2
+    n_btiles = max(1, B // tile)
+    b_tile = min(B, tile)
+
+    if reverse:
+        seq_ix = lambda bb, t: (T - 1 - t, bb, 0)  # noqa: E731
+    else:
+        seq_ix = lambda bb, t: (t, bb, 0)  # noqa: E731
+    const_ix = lambda bb, t: (0, 0)  # noqa: E731
+
+    in_specs = [pl.BlockSpec((1, b_tile, xp.shape[2]), seq_ix)
+                for xp in x_parts]
+    in_specs += [pl.BlockSpec((xp.shape[2], G), const_ix) for xp in x_parts]
+    operands = list(x_parts) + list(w_ih_parts)
+    if x_int8:
+        in_specs.append(pl.BlockSpec((1, G), const_ix))
+        operands.append(acc_scale.reshape(1, G).astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((1, G), const_ix),
+        pl.BlockSpec((H, G), const_ix),
+    ]
+    operands += [b.reshape(1, G).astype(jnp.float32), w_hh]
+
+    out_kind = jnp.int8 if out_int8 else out_dtype
+    return pl.pallas_call(
+        _make_fused_kernel_static(len(x_parts), x_int8, out_int8),
+        grid=(n_btiles, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, b_tile, H), seq_ix),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), out_kind),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
+def bilstm_fused_static(x_parts, params, acc_scale=None, out_int8=False,
+                        out_dtype=jnp.bfloat16, interpret=False):
+    """Bidirectional wrapper over lstm_direction_fused_static; same padding
+    contract as bilstm_fused.  params uses the standard w_ih_f/w_hh_f/b_f
+    naming; int8 inputs expect int8 w_ih_* and a shared acc_scale pair
+    (acc_scale_f, acc_scale_b)."""
+    B = x_parts[0].shape[1]
+    tile = B_TILE
+    if x_parts[0].dtype != jnp.int8 and \
+            jnp.dtype(x_parts[0].dtype).itemsize > 2:
+        tile = B_TILE // 2
+    target = B + ((-B) % tile if B > tile else 0)
+    if target != B:
+        x_parts = tuple(
+            jnp.pad(xp, ((0, 0), (0, target - B), (0, 0))) for xp in x_parts)
+
+    splits = []
+    off = 0
+    for xp in x_parts:
+        splits.append((off, off + xp.shape[2]))
+        off += xp.shape[2]
+
+    def direction(w_ih, w_hh, b, scale, reverse):
+        w_parts = tuple(w_ih[s:e] for s, e in splits)
+        return lstm_direction_fused_static(
+            x_parts, w_parts, b, w_hh, acc_scale=scale, reverse=reverse,
+            out_int8=out_int8, out_dtype=out_dtype, interpret=interpret)
+
+    scale_f = scale_b = None
+    if acc_scale is not None:
+        scale_f, scale_b = acc_scale
+    fwd = direction(params["w_ih_f"], params["w_hh_f"], params["b_f"],
+                    scale_f, False)
+    bwd = direction(params["w_ih_b"], params["w_hh_b"], params["b_b"],
+                    scale_b, True)
+    if target != B:
+        fwd = fwd[:, :B]
+        bwd = bwd[:, :B]
+    return fwd, bwd
+
+
 def _make_dual_kernel(n_parts):
     """Both directions in one kernel body: while one direction's gate
     nonlinearities run on the VPU, the other's recurrent matmul can occupy

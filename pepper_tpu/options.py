@@ -149,6 +149,10 @@ class PepperOptions:
     # default (bfloat16, cli/main.py) overrides it for production serving
     compute_dtype: str = "float32"
     quantized: bool = False
+    # "static": exact-1/127 activation scales + int8 fused kernels (default);
+    # "dynamic": per-batch absmax activation quantization (the reference's
+    # dynamic-QUInt8 analogue, predict_distributed_cpu.py:188-193)
+    quantize_mode: str = "static"
     model_type: str = "lstm"   # window-classifier family (models/registry.py)
     # local chips to shard inference batches over (data parallel): 1 =
     # single chip (library default, bit-stable tests); -1/0 = all local

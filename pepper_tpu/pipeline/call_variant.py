@@ -119,6 +119,7 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
         resolve_num_devices(options)
         runner = InferenceRunner(params, batch_size=options.batch_size,
                                  quantized=options.quantized,
+                                 quantize_mode=options.quantize_mode,
                                  model_type=options.model_type,
                                  mesh=_inference_mesh(options))
         predict_fn = runner.predict
@@ -215,7 +216,8 @@ def _make_predict_fn(options, params):
         compute_dtype=getattr(options, "compute_dtype", "float32"),
         window=size_options.CANDIDATE_WINDOW_SIZE + 1,
         features=size_options.IMAGE_HEIGHT,
-        quantized=options.quantized, model_type=options.model_type,
+        quantized=options.quantized,
+        quantize_mode=options.quantize_mode, model_type=options.model_type,
         mesh=_inference_mesh(options))
     return runner.predict
 

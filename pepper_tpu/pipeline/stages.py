@@ -113,7 +113,9 @@ def run_inference(options, image_dir: str, output_dir: str, params=None):
             params, batch_size=options.batch_size,
             window=size_options.CANDIDATE_WINDOW_SIZE + 1,
             features=size_options.IMAGE_HEIGHT,
-            quantized=options.quantized, model_type=options.model_type,
+            quantized=options.quantized,
+            quantize_mode=getattr(options, "quantize_mode", "static"),
+            model_type=options.model_type,
             mesh=_inference_mesh(options))
     batch_no = 0
     with PredictionStore(output_file, "w") as store:

@@ -1,0 +1,141 @@
+"""Static-scale int8 serving (models/quantize.py static mode): exact-1/127
+activation scales for the tanh-bounded LSTM hidden streams, int8 fused
+kernels on TPU with an exactly-equivalent lax.scan fallback elsewhere.
+Fills the reference's ONNX dynamic-QUInt8 role
+(predict_distributed_cpu.py:188-193) without per-batch quantization cost."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pepper_tpu.infer.runner import InferenceRunner
+from pepper_tpu.models.quantize import (
+    _scan_bilstm_q_to_q,
+    _scan_bilstm_to_q,
+    quantize_params_static,
+    transducer_infer_quantized,
+    quantize_params,
+    transducer_infer_static,
+)
+from pepper_tpu.models.transducer import (
+    TransducerConfig,
+    init_transducer_params,
+    transducer_apply,
+)
+from pepper_tpu.ops.lstm_kernel import bilstm_fused_static
+
+
+@pytest.fixture(scope="module")
+def model():
+    config = TransducerConfig()
+    params = init_transducer_params(jax.random.PRNGKey(0), config)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(-125, 126,
+                                size=(16, config.window,
+                                      config.image_features)), jnp.float32)
+    return config, params, x
+
+
+def test_static_inference_close_to_float(model):
+    _, params, x = model
+    expected = np.asarray(transducer_apply(params, x))
+    q = quantize_params_static(params)
+    probs = np.asarray(transducer_infer_static(q, x, jnp.float32))
+    np.testing.assert_allclose(probs, expected, atol=5e-3)
+    assert (probs.argmax(1) == expected.argmax(1)).all()
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_static_close_to_dynamic(model):
+    """Both int8 modes approximate the same float model to similar error."""
+    _, params, x = model
+    expected = np.asarray(transducer_apply(params, x))
+    dyn_q, dyn_s = quantize_params(params)
+    dyn = np.asarray(transducer_infer_quantized(dyn_q, dyn_s, x,
+                                                jnp.float32))
+    q = quantize_params_static(params)
+    static = np.asarray(transducer_infer_static(q, x, jnp.float32))
+    assert np.abs(static - expected).max() < 2 * max(
+        np.abs(dyn - expected).max(), 1e-3)
+
+
+def test_hidden_codes_bounded(model):
+    """|h| < 1 structurally => round(h*127) never leaves [-127, 127], so
+    the kernel's unclipped int8 cast is safe."""
+    _, params, x = model
+    q = quantize_params_static(params)
+    xt = jnp.transpose(x, (1, 0, 2))
+    f1, b1 = _scan_bilstm_to_q(xt, q["encoder"], jnp.float32)
+    f2, b2 = _scan_bilstm_q_to_q((f1, b1), q["decoder"], jnp.float32)
+    for h in (f1, b1, f2, b2):
+        arr = np.asarray(h, np.int32)
+        assert arr.min() >= -127 and arr.max() <= 127
+
+
+def test_int8_kernel_matches_fallback_bitwise(model):
+    """The Pallas static kernels (interpret mode) and the scan fallback
+    must agree on every int8 hidden code — same quantization decisions on
+    every element, encoder and decoder."""
+    _, params, x = model
+    q = jax.tree_util.tree_map(jnp.asarray, quantize_params_static(params))
+    xt = jnp.transpose(x, (1, 0, 2))
+
+    f1k, b1k = bilstm_fused_static((xt,), q["encoder"], out_int8=True,
+                                   out_dtype=jnp.float32, interpret=True)
+    f1s, b1s = _scan_bilstm_to_q(xt, q["encoder"], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f1k), np.asarray(f1s))
+    np.testing.assert_array_equal(np.asarray(b1k), np.asarray(b1s))
+
+    dec = q["decoder"]
+    f2k, b2k = bilstm_fused_static((f1k, b1k), dec,
+                                   acc_scale=(dec["as_f"], dec["as_b"]),
+                                   out_int8=True, interpret=True)
+    f2s, b2s = _scan_bilstm_q_to_q((f1s, b1s), dec, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f2k), np.asarray(f2s))
+    np.testing.assert_array_equal(np.asarray(b2k), np.asarray(b2s))
+
+
+def test_runner_static_mode(model):
+    """InferenceRunner default quantized mode is static; probabilities stay
+    close to the unquantized runner's."""
+    _, params, x = model
+    images = np.asarray(x, np.float32)
+    plain = InferenceRunner(params, batch_size=8).predict_images(images)
+    static = InferenceRunner(params, batch_size=8,
+                             quantized=True).predict_images(images)
+    assert InferenceRunner(params, quantized=True).quantize_mode == "static"
+    np.testing.assert_allclose(static, plain, atol=5e-3)
+
+
+def test_runner_rejects_unknown_mode(model):
+    _, params, _ = model
+    with pytest.raises(ValueError, match="quantize_mode"):
+        InferenceRunner(params, quantized=True, quantize_mode="int4")
+
+
+def test_static_sharded_matches_single_device(model):
+    """Static int8 trees replicate over the mesh like float params."""
+    from pepper_tpu.parallel.mesh import get_mesh
+
+    _, params, x = model
+    if jax.local_device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    images = np.asarray(x, np.float32)
+    single = InferenceRunner(params, batch_size=8,
+                             quantized=True).predict_images(images)
+    sharded = InferenceRunner(params, batch_size=8, quantized=True,
+                              mesh=get_mesh(4)).predict_images(images)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_hp_model_static(model):
+    """Static quantization is shape-generic (HP: 48 features, window 21)."""
+    config = TransducerConfig(image_features=48, window=21)
+    params = init_transducer_params(jax.random.PRNGKey(3), config)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randint(0, 150, size=(4, 21, 48)), jnp.float32)
+    expected = np.asarray(transducer_apply(params, x))
+    q = quantize_params_static(params)
+    probs = np.asarray(transducer_infer_static(q, x, jnp.float32))
+    np.testing.assert_allclose(probs, expected, atol=5e-3)
