@@ -69,9 +69,10 @@ def _add_inference_args(parser):
     parser.add_argument("--no_quantized", dest="quantized",
                         action="store_false")
     parser.add_argument("--quantize_mode", default="static",
-                        choices=["static", "dynamic"],
+                        choices=["static", "static_rec", "dynamic"],
                         help="int8 serving mode: static (exact 1/127 "
-                             "activation scales, fused int8 kernels) or "
+                             "activation scales, fused int8 kernels), "
+                             "static_rec (also int8 recurrent matmuls) or "
                              "dynamic (per-batch absmax quantization).")
     parser.add_argument("--device_pileup", action="store_true",
                         default=False,

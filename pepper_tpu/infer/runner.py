@@ -30,7 +30,7 @@ class InferenceRunner:
         self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
                               else jnp.float32)
         self.quantized = quantized
-        if quantize_mode not in ("static", "dynamic"):
+        if quantize_mode not in ("static", "static_rec", "dynamic"):
             raise ValueError(f"unknown quantize_mode {quantize_mode!r}")
         self.quantize_mode = quantize_mode
         self.mesh = mesh
@@ -56,12 +56,13 @@ class InferenceRunner:
             if params is not None and not quantized:
                 self.params = replicate(mesh, params)
         if quantized:
-            if quantize_mode == "static":
+            if quantize_mode in ("static", "static_rec"):
                 import jax
 
                 from ..models.quantize import quantize_params_static
 
-                tree = quantize_params_static(params)
+                tree = quantize_params_static(
+                    params, rec_int8=quantize_mode == "static_rec")
                 if mesh is not None:
                     from ..parallel.mesh import replicate
 
@@ -90,7 +91,7 @@ class InferenceRunner:
 
             padded = shard_batch(self.mesh, padded)
         if self.quantized:
-            if self.quantize_mode == "static":
+            if self.quantize_mode in ("static", "static_rec"):
                 from ..models.quantize import transducer_infer_static
 
                 return transducer_infer_static(self._q_static, padded,

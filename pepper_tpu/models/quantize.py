@@ -196,13 +196,19 @@ def _quantize_cols(w):
     return q, scale.astype(np.float32)
 
 
-def quantize_params_static(params):
+def quantize_params_static(params, rec_int8=False):
     """float param pytree -> static int8 serving tree.
 
     decoder w_ih_* and linear_1 w become int8 with fused rescales
     (w_scale/127 — the /127 dequantizes the int8 activation codes); the
     encoder, all recurrent weights, biases and the small head layers pass
-    through as float32."""
+    through as float32.
+
+    rec_int8=True additionally quantizes the four recurrent weights
+    (encoder+decoder w_hh_*) per output column; the recurrence then re-codes
+    h as round(h*127) every step (exact 1/127 scale again).  ~1.8x the
+    recurrent MXU rate, at the cost of quantized hidden feedback — opt-in
+    (PEPPER_QUANT_REC=1 or quantize_mode="static_rec")."""
     tree = {}
     for name, node in params.items():
         tree[name] = {k: np.asarray(v, np.float32) for k, v in node.items()}
@@ -212,6 +218,13 @@ def quantize_params_static(params):
         q, scale = _quantize_cols(dec[f"w_ih_{sfx}"])
         dec[f"w_ih_{sfx}"] = q
         dec[f"as_{sfx}"] = scale / 127.0
+    if rec_int8:
+        for layer in ("encoder", "decoder"):
+            node = tree[layer]
+            for sfx in ("f", "b"):
+                q, scale = _quantize_cols(node[f"w_hh_{sfx}"])
+                node[f"w_hh_{sfx}"] = q
+                node[f"as_hh_{sfx}"] = scale / 127.0
     lin1 = tree["linear_1"]
     q, scale = _quantize_cols(lin1["w"])
     lin1["w"] = q
@@ -226,28 +239,60 @@ def _quantize_h(h):
     return jnp.round(h.astype(jnp.float32) * 127.0).astype(jnp.int8)
 
 
+def _rec_q_recurrence(xw, w_hh_q, rec_scale, reverse):
+    """LSTM recurrence with int8 recurrent matmul: h re-coded as
+    round(h*127) every step (matching the kernel's rec_int8 path)."""
+    B = xw.shape[1]
+    H = w_hh_q.shape[1] // 4
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+
+    def step(carry, xw_t):
+        h, c = carry
+        hq = jnp.round(h * 127.0).astype(jnp.int8)
+        rec = jnp.dot(hq, w_hh_q, preferred_element_type=jnp.int32)
+        gates = xw_t + rec.astype(jnp.float32) * rec_scale
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    _, ys = jax.lax.scan(step, (h0, c0), xw, reverse=reverse)
+    return ys
+
+
+def _fallback_recurrence(xw, params, sfx, reverse):
+    from .rnn import lstm_recurrence
+
+    if f"as_hh_{sfx}" in params:
+        return _rec_q_recurrence(xw, params[f"w_hh_{sfx}"],
+                                 params[f"as_hh_{sfx}"], reverse)
+    ys, _ = lstm_recurrence(xw, params[f"w_hh_{sfx}"].astype(jnp.float32),
+                            reverse=reverse)
+    return ys
+
+
 def _scan_bilstm_to_q(xt, params, compute_dtype):
     """Fallback (non-TPU) encoder: lax.scan recurrence in f32 (matching the
     kernel's f32 state), int8-coded hidden streams out."""
-    from .rnn import lstm_recurrence
 
-    def direction(w_ih, w_hh, b, reverse):
+    def direction(sfx, reverse):
+        w_ih = params[f"w_ih_{sfx}"]
         xw = jnp.einsum("tbf,fg->tbg", xt.astype(compute_dtype),
-                        w_ih.astype(compute_dtype)).astype(jnp.float32) + b
-        ys, _ = lstm_recurrence(xw, w_hh.astype(jnp.float32),
-                                reverse=reverse)
-        return _quantize_h(ys)
+                        w_ih.astype(compute_dtype)).astype(jnp.float32) \
+            + params[f"b_{sfx}"]
+        return _quantize_h(_fallback_recurrence(xw, params, sfx, reverse))
 
-    return (direction(params["w_ih_f"], params["w_hh_f"], params["b_f"],
-                      False),
-            direction(params["w_ih_b"], params["w_hh_b"], params["b_b"],
-                      True))
+    return direction("f", False), direction("b", True)
 
 
 def _scan_bilstm_q_to_q(x_parts_q, params, compute_dtype):
     """Fallback decoder: int8 input projections with int32 accumulation,
     fused rescale, f32 scan recurrence, int8 streams out."""
-    from .rnn import lstm_recurrence
 
     def direction(sfx, reverse):
         w_q = params[f"w_ih_{sfx}"]
@@ -262,9 +307,7 @@ def _scan_bilstm_q_to_q(x_parts_q, params, compute_dtype):
             acc = part if acc is None else acc + part
         xw = (acc.astype(jnp.float32) * params[f"as_{sfx}"]
               + params[f"b_{sfx}"])
-        ys, _ = lstm_recurrence(xw, params[f"w_hh_{sfx}"].astype(jnp.float32),
-                                reverse=reverse)
-        return _quantize_h(ys)
+        return _quantize_h(_fallback_recurrence(xw, params, sfx, reverse))
 
     return direction("f", False), direction("b", True)
 
@@ -276,16 +319,31 @@ def _infer_static(q, x, compute_dtype, use_kernel):
     if use_kernel:
         from ..ops.lstm_kernel import bilstm_fused_static
 
-        enc = {k: (v.astype(compute_dtype) if k.startswith("w") else v)
+        rec_int8 = "as_hh_f" in q["encoder"]
+
+        def cast_whh(node):
+            if rec_int8:
+                return node  # int8 recurrent weights stay int8
+            node = dict(node)
+            node["w_hh_f"] = node["w_hh_f"].astype(compute_dtype)
+            node["w_hh_b"] = node["w_hh_b"].astype(compute_dtype)
+            return node
+
+        def rscale(node):
+            if not rec_int8:
+                return None
+            return (node["as_hh_f"], node["as_hh_b"])
+
+        enc = {k: (v.astype(compute_dtype)
+                   if k.startswith("w_ih") else v)
                for k, v in q["encoder"].items()}
+        enc = cast_whh(enc)
         f1q, b1q = bilstm_fused_static((xt.astype(compute_dtype),), enc,
-                                       out_int8=True)
-        dec = dict(q["decoder"])
-        dec["w_hh_f"] = dec["w_hh_f"].astype(compute_dtype)
-        dec["w_hh_b"] = dec["w_hh_b"].astype(compute_dtype)
+                                       rec_scale=rscale(enc), out_int8=True)
+        dec = cast_whh(q["decoder"])
         f2q, b2q = bilstm_fused_static(
             (f1q, b1q), dec, acc_scale=(dec["as_f"], dec["as_b"]),
-            out_int8=True)
+            rec_scale=rscale(dec), out_int8=True)
     else:
         f1q, b1q = _scan_bilstm_to_q(xt, q["encoder"], compute_dtype)
         f2q, b2q = _scan_bilstm_q_to_q((f1q, b1q), q["decoder"],

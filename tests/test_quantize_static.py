@@ -96,6 +96,56 @@ def test_int8_kernel_matches_fallback_bitwise(model):
     np.testing.assert_array_equal(np.asarray(b2k), np.asarray(b2s))
 
 
+def test_static_rec_int8(model):
+    """Opt-in int8 recurrent matmuls (quantize_mode=static_rec): accuracy
+    stays close and the kernels/fallback agree bitwise on the int8 codes.
+    (Measured slower than plain static on v5e — per-step h re-coding VPU
+    cost exceeds the int8 MXU saving at H=256 — hence opt-in.)"""
+    _, params, x = model
+    expected = np.asarray(transducer_apply(params, x))
+    q = jax.tree_util.tree_map(
+        jnp.asarray, quantize_params_static(params, rec_int8=True))
+    probs = np.asarray(transducer_infer_static(q, x, jnp.float32))
+    np.testing.assert_allclose(probs, expected, atol=1e-2)
+    assert (probs.argmax(1) == expected.argmax(1)).all()
+
+    # Kernel vs fallback: the quantized recurrent feedback amplifies
+    # f32 summation-order differences near rounding boundaries into ±1
+    # code flips on a tiny fraction of elements (unlike the non-rec mode,
+    # which is bit-exact), so assert near-exact agreement with |diff| <= 1.
+    def assert_codes_close(a, b):
+        a, b = np.asarray(a, np.int32), np.asarray(b, np.int32)
+        diff = np.abs(a - b)
+        assert diff.max() <= 1
+        assert (diff == 0).mean() > 0.995
+
+    xt = jnp.transpose(x, (1, 0, 2))
+    enc = q["encoder"]
+    f1k, b1k = bilstm_fused_static(
+        (xt,), enc, rec_scale=(enc["as_hh_f"], enc["as_hh_b"]),
+        out_int8=True, interpret=True)
+    f1s, b1s = _scan_bilstm_to_q(xt, enc, jnp.float32)
+    assert_codes_close(f1k, f1s)
+    assert_codes_close(b1k, b1s)
+    dec = q["decoder"]
+    f2k, b2k = bilstm_fused_static(
+        (f1k, b1k), dec, acc_scale=(dec["as_f"], dec["as_b"]),
+        rec_scale=(dec["as_hh_f"], dec["as_hh_b"]), out_int8=True,
+        interpret=True)
+    f2s, b2s = _scan_bilstm_q_to_q((f1s, b1s), dec, jnp.float32)
+    assert_codes_close(f2k, f2s)
+    assert_codes_close(b2k, b2s)
+
+
+def test_runner_static_rec_mode(model):
+    _, params, x = model
+    images = np.asarray(x, np.float32)
+    plain = InferenceRunner(params, batch_size=8).predict_images(images)
+    rec = InferenceRunner(params, batch_size=8, quantized=True,
+                          quantize_mode="static_rec").predict_images(images)
+    np.testing.assert_allclose(rec, plain, atol=1e-2)
+
+
 def test_runner_static_mode(model):
     """InferenceRunner default quantized mode is static; probabilities stay
     close to the unquantized runner's."""
