@@ -2,7 +2,37 @@
 
 #include <zlib.h>
 
+#include <cstdlib>
 #include <cstring>
+
+#include "inflate.h"
+
+namespace {
+
+// PEPPER_ZLIB_INFLATE=1 forces the zlib path (A/B testing, emergencies).
+bool use_zlib_inflate() {
+  static const bool force = [] {
+    const char* env = std::getenv("PEPPER_ZLIB_INFLATE");
+    return env != nullptr && env[0] == '1';
+  }();
+  return force;
+}
+
+bool zlib_inflate_block(const uint8_t* in, size_t in_len, uint8_t* out,
+                        size_t out_len) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(in);
+  zs.avail_in = static_cast<uInt>(in_len);
+  zs.next_out = out;
+  zs.avail_out = static_cast<uInt>(out_len);
+  const int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END && zs.avail_out == 0;
+}
+
+}  // namespace
 
 BgzfReader::BgzfReader(const std::string& path) {
   file_ = std::fopen(path.c_str(), "rb");
@@ -61,18 +91,21 @@ bool BgzfReader::load_block_at(int64_t coffset) {
   const uint32_t isize = static_cast<uint32_t>(
       trailer[4] | (trailer[5] << 8) | (trailer[6] << 16) | (trailer[7] << 24));
 
+  // +8 slack for pepper_inflate's word copies (BGZF ISIZE <= 64KiB, so
+  // the reserve is one-time)
+  block_.reserve(isize + 8);
   block_.resize(isize);
   if (isize > 0) {
-    z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) return false;
-    zs.next_in = cdata.data();
-    zs.avail_in = static_cast<uInt>(cdata.size());
-    zs.next_out = block_.data();
-    zs.avail_out = isize;
-    const int ret = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (ret != Z_STREAM_END) return false;
+    bool ok = false;
+    if (!use_zlib_inflate()) {
+      ok = pepper_inflate(cdata.data(), cdata.size(), block_.data(), isize,
+                          block_.capacity()) == 0;
+    }
+    if (!ok &&
+        !zlib_inflate_block(cdata.data(), cdata.size(), block_.data(),
+                            isize)) {
+      return false;
+    }
   }
   block_offset_ = coffset;
   next_block_offset_ = coffset + bsize;

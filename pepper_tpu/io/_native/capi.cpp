@@ -5,9 +5,20 @@
 #include "align.h"
 #include "bam.h"
 #include "fasta.h"
+#include "inflate.h"
 #include "pileup.h"
 
 extern "C" {
+
+// ---------------- raw-DEFLATE inflater (fuzz surface) ----------------
+
+// Returns 0 on success; out must have capacity out_len + 8.
+int pepper_inflate_raw(const unsigned char* in, long long in_len,
+                       unsigned char* out, long long out_len) {
+  return pepper_inflate(in, static_cast<size_t>(in_len), out,
+                        static_cast<size_t>(out_len),
+                        static_cast<size_t>(out_len) + 8);
+}
 
 // ---------------- BAM ----------------
 
