@@ -6,7 +6,13 @@ and wall-clock per stage. Truth includes insertions and deletions of length
 1-10 with homopolymer-adjacent sites, 3% uniform per-base sequencing errors
 and a systematic-noise read population.
 
-  python examples/acceptance_run.py [genome_mb] [threads]
+  python examples/acceptance_run.py [genome_mb] [threads] [error_model]
+
+error_model "uniform" (default): 3% uniform per-base substitutions.
+error_model "ont": the homopolymer-scaled, strand-biased sub+indel process
+with correlated qualities (tests/simulate.py apply_ont_errors) — the regime
+behind the reference's published INDEL F1 of 0.77-0.88
+(docs/pipeline_docker/ONT_variant_calling.md:149-154).
 """
 
 import os
@@ -36,6 +42,7 @@ def print_score_table(stats, log_line):
 def main():
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else (os.cpu_count() or 8)
+    error_model = sys.argv[3] if len(sys.argv) > 3 else "uniform"
 
     from pepper_tpu.models.checkpoint import load_params
     from pepper_tpu.models.transducer import TransducerConfig
@@ -49,12 +56,14 @@ def main():
     base = tempfile.mkdtemp(prefix="pepper_acceptance_")
     with StageTimer("SIMULATE TRAIN GENOME (0.5 Mb, SNP+INS+DEL)"):
         train_genome = build_mixed_genome(base, "train", 500_000, 1500,
-                                          2500, 11)
+                                          2500, 11,
+                                          error_model=error_model)
     with StageTimer("SIMULATE TEST GENOME (SNP+INS+DEL)"):
         test_genome = build_mixed_genome(base, "test",
                                          int(genome_mb * 1_000_000),
                                          int(genome_mb * 700),
-                                         int(genome_mb * 1000), 22)
+                                         int(genome_mb * 1000), 22,
+                                         error_model=error_model)
 
     train_options = set_parameters(PepperOptions(
         bam=train_genome["bam"], fasta=train_genome["fasta"],

@@ -2,7 +2,12 @@
 genome (SNP+INS+DEL truth incl. homopolymer-adjacent indels) through the
 real pipeline and score per variant type.
 
-  python examples/chr_scale_run.py [genome_mb] [threads]
+  python examples/chr_scale_run.py [genome_mb] [threads] [error_model] [coverage_x]
+
+error_model "uniform" (default) or "ont" (homopolymer-scaled indels,
+strand bias, correlated quals — tests/simulate.py apply_ont_errors).
+coverage_x scales read strides (default ~36x; e.g. 20 for a low-coverage
+point).
 """
 
 import os
@@ -24,6 +29,11 @@ from acceptance_run import print_score_table  # noqa: E402
 def main():
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else (os.cpu_count() or 8)
+    error_model = sys.argv[3] if len(sys.argv) > 3 else "uniform"
+    coverage = float(sys.argv[4]) if len(sys.argv) > 4 else 36.0
+    # default strides (160, 160, 550) give ~36x total; scale inversely
+    scale = 36.0 / coverage
+    strides = (int(160 * scale), int(160 * scale), int(550 * scale))
 
     from pepper_tpu.models.checkpoint import load_params
     from pepper_tpu.models.transducer import TransducerConfig
@@ -37,12 +47,15 @@ def main():
     base = tempfile.mkdtemp(prefix="pepper_chr_")
     with StageTimer("SIMULATE TRAIN GENOME (SNP+INS+DEL)"):
         train_genome = build_mixed_genome(base, "train", 500_000, 1500,
-                                          2500, 31)
+                                          2500, 31, strides=strides,
+                                          error_model=error_model)
     with StageTimer(f"SIMULATE {genome_mb} Mb TEST GENOME (SNP+INS+DEL)"):
         test_genome = build_mixed_genome(base, "test",
                                          int(genome_mb * 1_000_000),
                                          int(genome_mb * 700),
-                                         int(genome_mb * 1000), 32)
+                                         int(genome_mb * 1000), 32,
+                                         strides=strides,
+                                         error_model=error_model)
 
     train_options = set_parameters(PepperOptions(
         bam=train_genome["bam"], fasta=train_genome["fasta"],

@@ -93,13 +93,173 @@ def read_from_haplotype(ref: str, segments, ref_start: int, ref_span: int,
     return seq, cigar
 
 
+# ---------------------------------------------------------------------------
+# ONT-realistic read-error model.
+#
+# The uniform-substitution model (error_model="uniform") cannot stress the
+# pipeline the way real ONT data does: ONT errors are dominated by
+# homopolymer length miscounts (indels whose rate grows steeply with run
+# length), are strand-biased, and carry quality values correlated with
+# error probability.  This is exactly the regime behind the reference's
+# published INDEL F1 of 0.77-0.88 vs ~0.99 for SNPs
+# (/root/reference/docs/pipeline_docker/ONT_variant_calling.md:149-154).
+# error_model="ont" implements that process.
+# ---------------------------------------------------------------------------
+
+ONT_ERROR_DEFAULTS = dict(
+    sub_rate=0.012,          # fwd-strand per-base substitution probability
+    strand_sub_factor=1.5,   # rev-strand substitution multiplier
+    ins_rate=0.004,          # baseline per-base insertion probability
+    del_rate=0.008,          # baseline per-base deletion probability
+    strand_indel_factor=1.25,  # rev-strand indel multiplier
+    hp_alpha=0.55,           # indel rate *= 1 + alpha*(run_len-1)^1.5
+    hp_cap=45.0,             # cap on the homopolymer factor
+    qual_correct_mean=21.0,  # mean qual of correct bases
+    qual_correct_sd=5.0,
+    qual_error_mean=7.0,     # mean qual of erroneous bases
+    qual_error_sd=2.5,
+    qual_hp_penalty=4.0,     # quals drop inside homopolymer runs >= 4
+)
+
+
+def _read_run_lengths(codes: np.ndarray) -> np.ndarray:
+    """Per-base homopolymer run length of the read's own sequence."""
+    if len(codes) == 0:
+        return np.zeros(0, np.int64)
+    boundaries = np.flatnonzero(np.diff(codes) != 0) + 1
+    starts = np.concatenate([[0], boundaries])
+    lengths = np.diff(np.concatenate([starts, [len(codes)]]))
+    return np.repeat(lengths, lengths)
+
+
+def apply_ont_errors(seq, cigar_parts, rng, reverse_strand,
+                     params=ONT_ERROR_DEFAULTS):
+    """Apply the ONT error process to one read.
+
+    seq: the error-free haplotype read sequence; cigar_parts: [(op, len)]
+    vs the reference.  Returns (seq, cigar_parts, quals) with error
+    substitutions, run-length-dependent insertions/deletions merged into
+    the CIGAR (deletions only consume M bases so reference coordinates
+    stay exact), and correlated qualities."""
+    n = len(seq)
+    if n == 0:
+        return seq, cigar_parts, []
+    codes = np.frombuffer(seq.encode("latin-1"), np.uint8)
+    run_len = _read_run_lengths(codes)
+    hp_factor = np.minimum(
+        1.0 + params["hp_alpha"] * np.maximum(run_len - 1, 0) ** 1.5,
+        params["hp_cap"])
+
+    strand_sub = params["strand_sub_factor"] if reverse_strand else 1.0
+    strand_indel = params["strand_indel_factor"] if reverse_strand else 1.0
+    draws = rng.rand(3, n)
+    sub_mask = draws[0] < params["sub_rate"] * strand_sub
+    ins_mask = draws[1] < np.minimum(
+        params["ins_rate"] * strand_indel * hp_factor, 0.45)
+    del_mask = draws[2] < np.minimum(
+        params["del_rate"] * strand_indel * hp_factor, 0.45)
+    # a base is one of: substituted, duplicated (insertion), deleted
+    ins_mask &= ~del_mask
+    sub_mask &= ~(del_mask | ins_mask)
+
+    # substitutions in place (vectorized): shift to a different base
+    if sub_mask.any():
+        acgt = np.frombuffer(b"ACGT", np.uint8)
+        base_index = np.searchsorted(np.sort(acgt), codes[sub_mask])
+        shift = rng.randint(1, 4, size=int(sub_mask.sum()))
+        codes = codes.copy()
+        codes[sub_mask] = acgt[(base_index + shift) % 4]
+
+    # deletions may only eat M bases (so the CIGAR walk below stays exact);
+    # insertions duplicate the current base (ONT over-count)
+    quals_correct = np.clip(np.round(
+        rng.normal(params["qual_correct_mean"], params["qual_correct_sd"],
+                   n)), 2, 50).astype(np.int64)
+    quals_correct[run_len >= 4] = np.maximum(
+        quals_correct[run_len >= 4] - int(params["qual_hp_penalty"]), 2)
+    quals_error = np.clip(np.round(
+        rng.normal(params["qual_error_mean"], params["qual_error_sd"],
+                   n)), 2, 50).astype(np.int64)
+    qual_of = np.where(sub_mask | ins_mask | del_mask, quals_error,
+                       quals_correct)
+
+    out_seq = []
+    out_quals = []
+    out_cigar = []
+
+    def add_op(op, length):
+        if length <= 0:
+            return
+        if out_cigar and out_cigar[-1][0] == op:
+            out_cigar[-1][1] += length
+        else:
+            out_cigar.append([op, length])
+
+    read_pos = 0
+    for op, length in cigar_parts:
+        if op in ("M", "=", "X"):
+            lo, hi = read_pos, read_pos + length
+            events = np.flatnonzero(ins_mask[lo:hi] | del_mask[lo:hi]) + lo
+            cursor = lo
+            for event in events:
+                if event > cursor:
+                    out_seq.append(codes[cursor:event])
+                    out_quals.append(qual_of[cursor:event])
+                    add_op("M", int(event - cursor))
+                if del_mask[event]:
+                    add_op("D", 1)          # base missing from the read
+                else:
+                    out_seq.append(codes[event:event + 1])
+                    out_quals.append(qual_of[event:event + 1])
+                    add_op("M", 1)
+                    out_seq.append(codes[event:event + 1])
+                    out_quals.append(qual_of[event:event + 1])
+                    add_op("I", 1)          # duplicated base
+                cursor = event + 1
+            if hi > cursor:
+                out_seq.append(codes[cursor:hi])
+                out_quals.append(qual_of[cursor:hi])
+                add_op("M", int(hi - cursor))
+            read_pos = hi
+        elif op == "I":
+            out_seq.append(codes[read_pos:read_pos + length])
+            out_quals.append(qual_of[read_pos:read_pos + length])
+            add_op("I", length)
+            read_pos += length
+        else:  # D (and N): reference-consuming, no read bases
+            add_op(op, length)
+
+    new_codes = (np.concatenate(out_seq) if out_seq
+                 else np.zeros(0, np.uint8))
+    new_quals = (np.concatenate(out_quals) if out_quals
+                 else np.zeros(0, np.int64))
+    return (new_codes.tobytes().decode("latin-1"),
+            [(op, length) for op, length in out_cigar],
+            new_quals.tolist())
+
+
+def _parse_cigar(cigar: str):
+    parts = []
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            parts.append((ch, int(num)))
+            num = ""
+    return parts
+
+
 def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
                    qual=30, name_prefix="sim", strides=None,
-                   error_rate=0.0, error_seed=1234):
+                   error_rate=0.0, error_seed=1234, error_model="uniform",
+                   ont_params=ONT_ERROR_DEFAULTS):
     """Tile reads across the genome alternating haplotypes/strands.
     strides: optional per-haplotype stride list (coverage weighting).
-    error_rate: per-base substitution error probability (sequencing
-    noise), with low quality (7) at the erroneous bases."""
+    error_model="uniform": per-base substitutions at error_rate with low
+    quality (7) at the erroneous bases.  error_model="ont": the
+    homopolymer-scaled, strand-biased substitution+indel process with
+    correlated qualities (see apply_ont_errors); error_rate is ignored."""
     records = []
     count = 0
     error_rng = np.random.RandomState(error_seed)
@@ -110,15 +270,24 @@ def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
         for start in range(0, len(ref) - read_len + 1, hap_stride):
             seq, cigar = read_from_haplotype(ref, segments, start, read_len,
                                              seg_positions)
-            quals = [qual] * len(seq)
-            if error_rate > 0:
-                seq_list = list(seq)
-                n_errors = error_rng.binomial(len(seq), error_rate)
-                for idx in error_rng.randint(0, len(seq), size=n_errors):
-                    seq_list[idx] = "ACGT"[error_rng.randint(4)]
-                    quals[idx] = 7
-                seq = "".join(seq_list)
             flag = 0x10 if count % 2 else 0
+            if error_model == "ont":
+                new_seq, cigar_parts, quals = apply_ont_errors(
+                    seq, _parse_cigar(cigar), error_rng, bool(flag & 0x10),
+                    ont_params)
+                seq = new_seq
+                cigar = "".join(f"{length}{op}"
+                                for op, length in cigar_parts)
+            else:
+                quals = [qual] * len(seq)
+                if error_rate > 0:
+                    seq_list = list(seq)
+                    n_errors = error_rng.binomial(len(seq), error_rate)
+                    for idx in error_rng.randint(0, len(seq),
+                                                 size=n_errors):
+                        seq_list[idx] = "ACGT"[error_rng.randint(4)]
+                        quals[idx] = 7
+                    seq = "".join(seq_list)
             records.append(BamRecord(
                 name=f"{name_prefix}_{hap_index}_{count}", ref_id=0,
                 pos=start, mapq=mapq, cigar=cigar, seq=seq,
@@ -248,10 +417,13 @@ def make_mixed_variants(ref, hp_runs, n_variants, n_noise, seed,
 
 def build_mixed_genome(base, name, length, n_variants, n_noise, seed,
                        read_len=2000, strides=(160, 160, 550),
-                       error_rate=0.03, contig="chrA", run_every=1500):
+                       error_rate=0.03, contig="chrA", run_every=1500,
+                       error_model="uniform"):
     """Simulated genome directory (BAM/FASTA/truth VCF/BED) with mixed
     SNP/INS/DEL truth incl. homopolymer-adjacent indels and a low-coverage
-    systematic-noise read population, plus uniform sequencing errors."""
+    systematic-noise read population, plus sequencing errors
+    (error_model="uniform" substitutions or "ont" — see
+    apply_ont_errors)."""
     import os
 
     from pepper_tpu.io.bam_writer import write_bam, write_fasta
@@ -264,7 +436,8 @@ def build_mixed_genome(base, name, length, n_variants, n_noise, seed,
     hap2 = [(p, r, a) for p, r, a, g in variants if g == "1|1"]
     records = simulate_reads(ref, [hap1, hap2, noise], read_len=read_len,
                              strides=list(strides), name_prefix=name,
-                             error_rate=error_rate, error_seed=seed)
+                             error_rate=error_rate, error_seed=seed,
+                             error_model=error_model)
     directory = os.path.join(base, name)
     os.makedirs(directory, exist_ok=True)
     bam = os.path.join(directory, "reads.bam")
