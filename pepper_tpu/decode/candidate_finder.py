@@ -149,59 +149,40 @@ def _valid_allele(allele: str) -> bool:
 
 
 def _annotate_bulk(fasta, candidates):
-    """(in_repeat bool array, ref_base list) per candidate — identical to
-    per-candidate `candidate_in_homopolymer` + `_candidate_context`
-    ref_base calls, but computed vectorized per 1Mb reference tile: run
-    start/end arrays come from one boundary scan, and the reference's
-    window truncation (runs measured inside the +-10bp fetch,
-    CandidateFinder.py:393-416) is the min/max clamp against the window
-    bounds."""
+    """(in_repeat bool array, ref_code uint8 array) per candidate —
+    identical decisions to per-candidate `candidate_in_homopolymer` +
+    `_candidate_context` ref_base calls, but computed vectorized per
+    fixed-grid 1Mb reference tile (tiles overlap 32bp so every +-10bp
+    window is interior): run start/end arrays come from one boundary
+    scan, and the reference's window truncation (runs measured inside the
+    +-10bp fetch, CandidateFinder.py:393-416) is the min/max clamp
+    against the window bounds — a run clipped at a tile edge clamps to
+    the same w0/w1 bound either way, so grid tiling is decision-exact.
+    ref_code is the uppercased reference base byte (0 where the position
+    is out of range)."""
     n = len(candidates)
     in_repeat = np.zeros(n, bool)
-    ref_bases = [""] * n
-    order = sorted(range(n), key=lambda i: (candidates[i].contig,
-                                            candidates[i].position))
-    tile_contig, tile_start, tile_stop, tile_seq = None, 0, 0, ""
-    contig_len = 0
-    run_start = run_end = None
-    group: list[int] = []
+    ref_codes = np.zeros(n, np.uint8)
 
-    def flush():
-        if not group:
-            return
-        indices = np.asarray(group, np.int64)
-        pos = np.asarray([candidates[i].position for i in group], np.int64)
-        w0 = np.maximum(0, pos - 10)
-        w1 = np.minimum(contig_len, pos + 10)
-        offsets = np.arange(-5, 4)
-        window = pos[:, None] + offsets[None, :]
-        valid = (window >= 0) & (window < w1[:, None])
-        local = np.clip(window - tile_start, 0, len(run_start) - 1)
-        truncated = (np.minimum(run_end[local], w1[:, None])
-                     - np.maximum(run_start[local], w0[:, None]))
-        in_repeat[indices] = ((truncated >= 5) & valid).any(axis=1)
-        for k, i in enumerate(group):
-            local_pos = pos[k] - tile_start
-            ref_bases[i] = tile_seq[local_pos:local_pos + 1]
-        group.clear()
+    by_contig: dict = {}
+    for i, candidate in enumerate(candidates):
+        by_contig.setdefault(candidate.contig, []).append(i)
 
-    for i in order:
-        candidate = candidates[i]
-        lo = max(0, candidate.position - 10)
-        hi = candidate.position + 10
-        if candidate.contig != tile_contig:
-            flush()
-            contig_len = fasta.get_chromosome_sequence_length(
-                candidate.contig)
-            tile_contig, tile_seq = candidate.contig, ""
-            tile_start = tile_stop = 0
-        hi = min(hi, contig_len)
-        if lo < tile_start or hi > tile_stop:
-            flush()
-            tile_start = lo
-            tile_stop = min(lo + _CONTEXT_TILE, contig_len)
+    offsets = np.arange(-5, 4)
+    for contig, idx_list in by_contig.items():
+        contig_len = fasta.get_chromosome_sequence_length(contig)
+        indices = np.asarray(idx_list, np.int64)
+        pos = np.asarray([candidates[i].position for i in idx_list],
+                         np.int64)
+        lo = np.maximum(0, pos - 10)
+        tile_ids = lo // _CONTEXT_TILE
+        for tile in np.unique(tile_ids):
+            tile_start = int(tile) * _CONTEXT_TILE
+            tile_stop = min(tile_start + _CONTEXT_TILE + 32, contig_len)
+            if tile_start >= tile_stop:
+                continue
             tile_seq = fasta.get_reference_sequence(
-                candidate.contig, tile_start, tile_stop).upper()
+                contig, tile_start, tile_stop).upper()
             codes = np.frombuffer(tile_seq.encode("latin-1"), np.uint8)
             if len(codes):
                 boundaries = np.flatnonzero(np.diff(codes) != 0) + 1
@@ -211,19 +192,72 @@ def _annotate_bulk(fasta, candidates):
                 run_end = np.repeat(starts + lengths, lengths) + tile_start
             else:
                 run_start = run_end = np.zeros(1, np.int64)
-        group.append(i)
-    flush()
-    return in_repeat, ref_bases
+
+            sel = tile_ids == tile
+            p = pos[sel]
+            w0 = np.maximum(0, p - 10)
+            w1 = np.minimum(contig_len, p + 10)
+            window = p[:, None] + offsets[None, :]
+            valid = (window >= 0) & (window < w1[:, None])
+            local = np.clip(window - tile_start, 0, len(run_start) - 1)
+            truncated = (np.minimum(run_end[local], w1[:, None])
+                         - np.maximum(run_start[local], w0[:, None]))
+            in_repeat[indices[sel]] = ((truncated >= 5) & valid).any(axis=1)
+            local_pos = p - tile_start
+            in_tile = (local_pos >= 0) & (local_pos < len(codes))
+            ref_codes[indices[sel][in_tile]] = codes[local_pos[in_tile]]
+    return in_repeat, ref_codes
+
+
+def _native_decode_module():
+    """The _pepper_decode extension, or None (unbuildable / forced off
+    with PEPPER_PY_DECODE=1)."""
+    import os
+
+    if os.environ.get("PEPPER_PY_DECODE") == "1":
+        return None
+    try:
+        from ..io.native_vcfemit import get_decode_module
+
+        return get_decode_module()
+    except Exception:
+        return None
 
 
 def decode_predictions(options, predictions, fasta):
     """Turn classified candidates into Margin (SNP-only) and DeepVariant
-    (re-genotyping) candidate lists (CandidateFinder.py:391-529)."""
+    (re-genotyping) candidate lists (CandidateFinder.py:391-529).
+
+    Two engines share the annotation pass: the native gate/list pass
+    (_pepper_decode, default) and the pure-Python loop below
+    (PEPPER_PY_DECODE=1); they must produce identical lists
+    (tests/test_decode.py fuzz)."""
+    native = _native_decode_module()
+    if native is not None:
+        in_repeat_all, ref_codes = _annotate_bulk(fasta, predictions)
+        # non-ACGT reference bases mark the candidate skipped (code 0)
+        acgt = np.isin(ref_codes, (65, 67, 71, 84))
+        ref_codes = np.where(acgt, ref_codes, 0).astype(np.uint8)
+        params = (float(options.snp_p_value), float(options.insert_p_value),
+                  float(options.delete_p_value),
+                  float(options.snp_p_value_in_lc),
+                  float(options.insert_p_value_in_lc),
+                  float(options.delete_p_value_in_lc),
+                  float(options.report_snp_above_freq),
+                  float(options.report_indel_above_freq))
+        return native.decode_chunk(predictions, ref_codes,
+                                   np.ascontiguousarray(in_repeat_all,
+                                                        np.uint8), params)
+    return _decode_predictions_py(options, predictions, fasta)
+
+
+def _decode_predictions_py(options, predictions, fasta):
+    """Pure-Python decode engine (the semantic golden spec)."""
     margin_list = []
     deepvariant_list = []
-    in_repeat_all, ref_bases = _annotate_bulk(fasta, predictions)
+    in_repeat_all, ref_codes = _annotate_bulk(fasta, predictions)
     for index, candidate in enumerate(predictions):
-        reference_base = ref_bases[index]
+        reference_base = chr(ref_codes[index]) if ref_codes[index] else ""
         in_repeat = bool(in_repeat_all[index])
         if reference_base not in ACGT:
             continue

@@ -601,7 +601,7 @@ def test_annotate_bulk_matches_per_candidate(tmp_path):
                 np.array([0.2, 0.7, 0.1])))
     rng.shuffle(candidates)
 
-    in_repeat, ref_bases = cf._annotate_bulk(handler, candidates)
+    in_repeat, ref_codes = cf._annotate_bulk(handler, candidates)
     for i, candidate in enumerate(candidates):
         expected_repeat = cf.candidate_in_homopolymer(
             handler, candidate.contig, candidate.position)
@@ -609,7 +609,8 @@ def test_annotate_bulk_matches_per_candidate(tmp_path):
             handler, candidate.contig, candidate.position)
         assert bool(in_repeat[i]) == expected_repeat, \
             (candidate.contig, candidate.position)
-        assert ref_bases[i] == expected_base, \
+        base = chr(ref_codes[i]) if ref_codes[i] else ""
+        assert base == expected_base, \
             (candidate.contig, candidate.position)
 
 
@@ -629,11 +630,12 @@ def test_annotate_bulk_small_tiles(tmp_path, monkeypatch):
     candidates = [CandidatePrediction("c1", p, 30, ["1A"], [9],
                                       np.array([0.2, 0.7, 0.1]))
                   for p in range(0, len(seq), 3)]
-    in_repeat, ref_bases = cf._annotate_bulk(handler, candidates)
+    in_repeat, ref_codes = cf._annotate_bulk(handler, candidates)
     for i, candidate in enumerate(candidates):
         assert bool(in_repeat[i]) == cf.candidate_in_homopolymer(
             handler, "c1", candidate.position), candidate.position
-        assert ref_bases[i] == seq[candidate.position:candidate.position + 1]
+        base = chr(ref_codes[i]) if ref_codes[i] else ""
+        assert base == seq[candidate.position:candidate.position + 1]
 
 
 def test_native_vcf_emit_rejects_malformed_items():
@@ -653,3 +655,73 @@ def test_native_vcf_emit_rejects_malformed_items():
         with pytest.raises(ValueError):
             emit([("chr1", 100, 101, b"chr1\t101\t.\tA\tT\t9\tPASS\t.\n",
                    route)], (10.0, 10.0, 10.0, 10.0), -1, 1)
+
+
+def test_native_decode_matches_python_engine(tmp_path):
+    """The _pepper_decode gate pass (default) and the pure-Python engine
+    must produce identical margin/DV lists — fuzz over random alleles
+    (incl. invalid chars, empty bodies, unknown types), mixed prob
+    dtypes, VAF overrides and the delete reference-swap chain."""
+    from pepper_tpu.decode import candidate_finder as cf
+    from pepper_tpu.io.bam_writer import write_fasta
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+
+    if cf._native_decode_module() is None:
+        pytest.skip("native decode extension unavailable")
+
+    rng = np.random.RandomState(4)
+    pieces = []
+    while sum(len(p) for p in pieces) < 50_000:
+        if rng.rand() < 0.3:
+            pieces.append("ACGTN"[rng.randint(5)] * rng.randint(3, 25))
+        else:
+            pieces.append("".join("ACGT"[i]
+                                  for i in rng.randint(0, 4, 30)))
+    seq = "".join(pieces)
+    path = str(tmp_path / "fz.fa")
+    write_fasta(path, {"cF": seq})
+    fasta = FastaReader(path)
+
+    def rand_allele():
+        t = str(rng.choice(["1", "2", "3", "7"]))
+        body = "".join(rng.choice(list("ACGTNacgt"),
+                                  rng.randint(0, 8)))
+        if rng.rand() < 0.05:
+            body += "x"
+        return t + body
+
+    preds = []
+    for i in range(3000):
+        k = rng.randint(1, 5)
+        probs = rng.dirichlet([1, 1, 1]).astype(
+            np.float32 if i % 2 else np.float64)
+        preds.append(CandidatePrediction(
+            contig="cF", position=int(rng.randint(0, len(seq))),
+            depth=int(rng.randint(1, 60)),
+            candidates=[rand_allele() for _ in range(k)],
+            candidate_frequency=[int(rng.randint(1, 50))
+                                 for _ in range(k)],
+            prediction_base=probs))
+
+    for overrides in ({}, dict(report_snp_above_freq=0.1,
+                               report_indel_above_freq=0.15),
+                      dict(snp_p_value=0.9, insert_p_value=0.9,
+                           delete_p_value=0.9,
+                           report_indel_above_freq=0.2)):
+        options = set_parameters(PepperOptions(
+            sub_command="call_variant", ont_r9_guppy5_sup=True))
+        for key, value in overrides.items():
+            setattr(options, key, value)
+        m_native, d_native = cf.decode_predictions(options, preds, fasta)
+        m_python, d_python = cf._decode_predictions_py(options, preds,
+                                                       fasta)
+        assert len(m_native) == len(m_python)
+        assert len(d_native) == len(d_python)
+        for a, b in zip(m_native + d_native, m_python + d_python):
+            assert len(a) == len(b)
+            for j, (x, y) in enumerate(zip(a, b)):
+                if j == 9:  # prediction_base: original vs float64 cast
+                    assert [float(v) for v in x] == [float(v) for v in y]
+                else:
+                    assert x == y, (j, x, y)
