@@ -1,5 +1,10 @@
 #include "align.h"
 
+#ifndef _GNU_SOURCE
+#define _GNU_SOURCE  // memmem (perfect-match fast path)
+#endif
+#include <string.h>
+
 #include <algorithm>
 #include <vector>
 
@@ -474,6 +479,41 @@ AlignmentResult smith_waterman(const std::string& target,
                                const std::string& query, int match_score,
                                int mismatch_penalty, int gap_open_penalty,
                                int gap_extend_penalty) {
+  // Perfect-match fast path (the sound core of the reference's own
+  // fast-pass idea, aligner.cpp:71-120): a full-length exact occurrence
+  // of the query that is UNIQUE in the target is provably the unique
+  // optimum — any local alignment scores <= match*m with equality only
+  // for a full-length penalty-free (i.e. exact) occurrence, and
+  // uniqueness satisfies the engines' first-maximal-cell tie-break.
+  // Skips the O(n*m) DP entirely; mismatched/gapped reads (any real
+  // error process) fall through to the full engines.
+  {
+    const int64_t n = static_cast<int64_t>(target.size());
+    const int64_t m = static_cast<int64_t>(query.size());
+    if (m > 0 && n >= m && match_score > 0 && mismatch_penalty >= 0 &&
+        gap_open_penalty >= 0 && gap_extend_penalty >= 0 &&
+        static_cast<int64_t>(match_score) * m <= 2000000000LL) {
+      const char* base = target.data();
+      const void* hit = memmem(base, n, query.data(), m);
+      if (hit != nullptr) {
+        const int64_t off = static_cast<const char*>(hit) - base;
+        const void* second =
+            (off + 1 <= n - m)
+                ? memmem(base + off + 1, n - off - 1, query.data(), m)
+                : nullptr;
+        if (second == nullptr) {
+          AlignmentResult result;
+          result.best_score = static_cast<int>(match_score * m);
+          result.ref_begin = off;
+          result.ref_end = off + m - 1;
+          result.query_begin = 0;
+          result.query_end = m - 1;
+          result.cigar = std::to_string(m) + "=";
+          return result;
+        }
+      }
+    }
+  }
 #ifdef __SSE2__
   const int64_t n = static_cast<int64_t>(target.size());
   const int64_t m = static_cast<int64_t>(query.size());

@@ -226,3 +226,62 @@ def test_out_of_range_scoring_uses_scalar_engine():
     for scoring in ((4, 6, 8, 0), (4, 40000, 8, 2), (40000, 6, 8, 2)):
         assert run(lib.pepper_align, target, query, scoring) == \
             run(lib.pepper_align_scalar, target, query, scoring), scoring
+
+
+def test_perfect_match_fast_path_bit_identical():
+    """A unique full-length exact occurrence takes the memmem shortcut in
+    the smith_waterman dispatch; the result must be identical to the
+    scalar golden engine.  Repeated occurrences (tie-break territory) and
+    near-matches must fall back to the DP engines."""
+    import ctypes
+
+    from pepper_tpu.io.align import _configure
+    from pepper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    _configure(lib)
+    lib.pepper_align_scalar.restype = ctypes.c_void_p
+    lib.pepper_align_scalar.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+
+    def run(fn, target, query, scoring=(4, 6, 8, 2)):
+        handle = fn(target.encode(), query.encode(), *scoring)
+        try:
+            return (lib.pepper_align_score(handle),
+                    lib.pepper_align_ref_begin(handle),
+                    lib.pepper_align_ref_end(handle),
+                    lib.pepper_align_query_begin(handle),
+                    lib.pepper_align_query_end(handle),
+                    lib.pepper_align_cigar(handle).decode())
+        finally:
+            lib.pepper_align_free(handle)
+
+    rng = np.random.RandomState(77)
+
+    def rand_seq(n):
+        return "".join("ACGT"[i] for i in rng.randint(0, 4, n)) or "A"
+
+    for trial in range(150):
+        target = rand_seq(rng.randint(50, 400))
+        qlen = int(rng.randint(5, min(60, len(target))))
+        off = int(rng.randint(0, len(target) - qlen + 1))
+        query = target[off:off + qlen]
+        scoring = [(4, 6, 8, 2), (2, 4, 4, 2), (1, 1, 2, 1)][trial % 3]
+        assert run(lib.pepper_align, target, query, scoring) == \
+            run(lib.pepper_align_scalar, target, query, scoring), \
+            (trial, target, query)
+
+    # doubled occurrence: engine tie-break must be preserved (fallback)
+    core = rand_seq(30)
+    target = core + rand_seq(11) + core
+    assert run(lib.pepper_align, target, core) == \
+        run(lib.pepper_align_scalar, target, core)
+
+    # 1-mismatch read: must NOT trigger (engines may clip/trim ends)
+    target = rand_seq(200)
+    query = list(target[50:150])
+    query[30] = {"A": "C", "C": "G", "G": "T", "T": "A"}[query[30]]
+    query = "".join(query)
+    assert run(lib.pepper_align, target, query) == \
+        run(lib.pepper_align_scalar, target, query)
