@@ -300,7 +300,10 @@ def _decode_predictions_py(options, predictions, fasta):
         non_alt_predictions = []
         non_alt = p1 if p1 >= p2 else p2
         for alt_type, allele, frequency in valid_candidates:
-            vaf = float(frequency) / float(candidate.depth)
+            # depth<=0 (fully filtered column) -> VAF 0, matching the
+            # native engine; neither engine may divide by zero here
+            vaf = (float(frequency) / float(candidate.depth)
+                   if candidate.depth > 0 else 0.0)
             non_alt_predictions.append(non_alt)
             if alt_type == "1":
                 if not in_repeat and non_alt >= options.snp_p_value:

@@ -490,8 +490,13 @@ AlignmentResult smith_waterman(const std::string& target,
   {
     const int64_t n = static_cast<int64_t>(target.size());
     const int64_t m = static_cast<int64_t>(query.size());
+    // Require a strictly positive 1-base gap cost (open+extend > 0):
+    // with free gaps a non-contiguous alignment can also reach match*m,
+    // so the exact occurrence would no longer be the *unique* optimum
+    // and the DP engines' first-maximal-cell tie-break could disagree.
     if (m > 0 && n >= m && match_score > 0 && mismatch_penalty >= 0 &&
         gap_open_penalty >= 0 && gap_extend_penalty >= 0 &&
+        gap_open_penalty + gap_extend_penalty > 0 &&
         static_cast<int64_t>(match_score) * m <= 2000000000LL) {
       const char* base = target.data();
       const void* hit = memmem(base, n, query.data(), m);

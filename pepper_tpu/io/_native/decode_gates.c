@@ -45,12 +45,16 @@ static int read_probs(PyObject *pb, double *p) {
   Py_buffer view;
   if (PyObject_GetBuffer(pb, &view, PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) == 0) {
     int ok = 0;
-    if (view.len >= 3 * view.itemsize) {
-      if (view.itemsize == 8) {
+    /* only trust the typed fast reads for true float buffers; anything
+     * else (int64/int32/...) falls through to the PySequence path which
+     * performs the same numeric conversion as the Python engine */
+    const char *fmt = view.format;
+    if (view.len >= 3 * view.itemsize && fmt != NULL) {
+      if (view.itemsize == 8 && fmt[0] == 'd' && fmt[1] == '\0') {
         const double *d = (const double *)view.buf;
         p[0] = d[0]; p[1] = d[1]; p[2] = d[2];
         ok = 1;
-      } else if (view.itemsize == 4) {
+      } else if (view.itemsize == 4 && fmt[0] == 'f' && fmt[1] == '\0') {
         const float *f = (const float *)view.buf;
         p[0] = f[0]; p[1] = f[1]; p[2] = f[2];
         ok = 1;
@@ -200,7 +204,8 @@ static PyObject *decode_chunk(PyObject *self, PyObject *args) {
         if (!d_nonalt || !d_alts || !d_supports) { err = 1; break; }
       }
       if (PyList_Append(d_nonalt, non_alt_obj) < 0) { err = 1; break; }
-      const double vaf = freq / (double)depth;
+      /* depth<=0 -> VAF 0 (matches the Python engine's explicit guard) */
+      const double vaf = depth > 0 ? freq / (double)depth : 0.0;
       int accept = 0, del_swap = 0;
       double thr, thr_lc, report;
       if (type_char == '1') {

@@ -92,9 +92,10 @@ inline uint32_t sym_entry(TableType type, int sym, uint32_t consume) {
 }
 
 // Build a two-level decode table from canonical code lengths.  Returns
-// false on an over-subscribed code.  Incomplete codes fill unused slots
-// with invalid entries (decode errors if one is hit), mirroring zlib's
-// leniency for the historical one-code distance tables.
+// false on an over-subscribed OR (for LITLEN/CODELEN) incomplete code,
+// matching zlib's build-time strictness; only DIST keeps the historical
+// leniency for incomplete codes (unused slots stay invalid and error if
+// hit at decode time).
 bool build_table(const uint8_t* lens, int n, int tablebits, TableType type,
                  HuffTable* t) {
   int count[16] = {0};
@@ -109,6 +110,7 @@ bool build_table(const uint8_t* lens, int n, int tablebits, TableType type,
     left -= count[len];
     if (left < 0) return false;  // over-subscribed
   }
+  if (left > 0 && type != DIST) return false;  // incomplete litlen/codelen
 
   // canonical order: (length, symbol)
   int offs[17];

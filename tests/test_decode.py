@@ -696,9 +696,16 @@ def test_native_decode_matches_python_engine(tmp_path):
         k = rng.randint(1, 5)
         probs = rng.dirichlet([1, 1, 1]).astype(
             np.float32 if i % 2 else np.float64)
+        # depth 0 (fully filtered column) must gate identically in both
+        # engines (VAF treated as 0, no division); int-typed prob buffers
+        # must route through the sequence fallback, not raw reinterpret
+        depth = 0 if i % 37 == 0 else int(rng.randint(1, 60))
+        if i % 53 == 0:
+            probs = (probs * 1000).astype(
+                np.int64 if i % 2 else np.int32)
         preds.append(CandidatePrediction(
             contig="cF", position=int(rng.randint(0, len(seq))),
-            depth=int(rng.randint(1, 60)),
+            depth=depth,
             candidates=[rand_allele() for _ in range(k)],
             candidate_frequency=[int(rng.randint(1, 50))
                                  for _ in range(k)],
