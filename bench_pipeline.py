@@ -348,8 +348,72 @@ def bench_device(genome_mb: float, threads: int):
              "see PERFORMANCE.md for the default justification")
 
 
+def bench_consensus(num_devices: int, batch: int = 512,
+                    dtype: str = "float32"):
+    """Polish consensus positions/s on the device(s), optionally
+    mesh-sharded (the `--num_devices` serving path).  Relay methodology
+    (PERFORMANCE.md): N distinct perturbed batches inside ONE jitted
+    dispatch, scalar checksum fetch, marginal rate over two scan lengths —
+    measures sustained device throughput, not relay transfer."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pepper_tpu.models.polish_gru import init_polish_params
+    from pepper_tpu.parallel.mesh import local_mesh, replicate, shard_batch
+    from pepper_tpu.polish.consensus import SEQ_LENGTH, consensus_scan
+    from pepper_tpu.utils.profiling import log_line
+
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    mesh = local_mesh(num_devices)
+    params = init_polish_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 40, size=(batch, SEQ_LENGTH, 10)),
+                    compute_dtype)
+    if mesh is not None:
+        params = replicate(mesh, params)
+        x = shard_batch(mesh, x)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(params, x, iters):
+        def body(acc, i):
+            xi = x + i.astype(x.dtype)
+            _, labels, phred = consensus_scan(params, xi)
+            return acc + jnp.sum(phred) + jnp.sum(
+                labels.astype(jnp.float32)), ()
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.),
+                                jnp.arange(iters, dtype=jnp.int32))
+        return total
+
+    def timed(iters):
+        float(run(params, x, iters))  # compile warmup
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            float(run(params, x, iters))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    n_short, n_long = 4, 16
+    t_short, t_long = timed(n_short), timed(n_long)
+    marginal = (t_long - t_short) / (n_long - n_short)
+    rate = (batch * SEQ_LENGTH / marginal if marginal > 0
+            else batch * n_long * SEQ_LENGTH / t_long)
+    where = (f"mesh of {len(mesh.devices.ravel())} devices" if mesh
+             else "single device")
+    log_line(f"CONSENSUS ({where}, batch {batch}, {dtype}): "
+             f"{rate / 1e6:.1f}M positions/s sustained")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "vcf":
+    if len(sys.argv) > 1 and sys.argv[1] == "consensus":
+        bench_consensus(int(sys.argv[2]) if len(sys.argv) > 2 else 1,
+                        int(sys.argv[3]) if len(sys.argv) > 3 else 512,
+                        sys.argv[4] if len(sys.argv) > 4 else "float32")
+    elif len(sys.argv) > 1 and sys.argv[1] == "vcf":
         bench_vcf_only(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
                        int(sys.argv[3]) if len(sys.argv) > 3
                        else (os.cpu_count() or 4))

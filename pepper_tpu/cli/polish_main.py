@@ -27,6 +27,11 @@ def _add_common(parser, need_model=False):
                         help="Skip SW local realignment before summarizing.")
     if need_model:
         parser.add_argument("-m", "--model_path", default="")
+        parser.add_argument(
+            "--num_devices", type=int, default=-1,
+            help="Accelerators to shard consensus batches over "
+                 "(-1 = all local devices; the reference's per-CUDA-device "
+                 "polish fan-out, predict_distributed_gpu.py:39-70).")
 
 
 def build_parser():

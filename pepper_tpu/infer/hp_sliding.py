@@ -73,10 +73,30 @@ def hp_votes_scan(params, images, allow_kernel=True):
     return votes
 
 
-def predict_hp(params, images_hp1, images_hp2, allow_kernel=True):
+def predict_hp(params, images_hp1, images_hp2, allow_kernel=True,
+               mesh=None):
     """Both haplotype image stacks through the shared model (the reference
     runs one ONNX session for both, predict_hp_distributed_cpu.py:63-73).
-    Returns (votes_hp1, votes_hp2) int32 (B, L, C) numpy arrays."""
-    v1 = hp_votes_scan(params, images_hp1, allow_kernel=allow_kernel)
-    v2 = hp_votes_scan(params, images_hp2, allow_kernel=allow_kernel)
-    return np.asarray(v1), np.asarray(v2)
+    Returns (votes_hp1, votes_hp2) int32 (B, L, C) numpy arrays.
+
+    With a mesh, each haplotype batch is sharded over the data axis with
+    replicated params — the multi-accelerator fan-out of
+    predict_hp_distributed_gpu.py, exact under batch DP because the hidden
+    carry is per-sequence and the votes are integer-scaled."""
+    if mesh is None:
+        v1 = hp_votes_scan(params, images_hp1, allow_kernel=allow_kernel)
+        v2 = hp_votes_scan(params, images_hp2, allow_kernel=allow_kernel)
+        return np.asarray(v1), np.asarray(v2)
+
+    from ..parallel.mesh import (pad_to_multiple, replicate_cached,
+                                 shard_batch)
+
+    n_devices = len(mesh.devices.ravel())
+    params = replicate_cached(mesh, params)
+    outputs = []
+    for images in (images_hp1, images_hp2):
+        padded, n = pad_to_multiple(np.asarray(images), n_devices)
+        votes = hp_votes_scan(params, shard_batch(mesh, jnp.asarray(padded)),
+                              allow_kernel=allow_kernel)
+        outputs.append(np.asarray(votes)[:n])
+    return outputs[0], outputs[1]

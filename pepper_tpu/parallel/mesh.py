@@ -60,6 +60,23 @@ def replicate(mesh: Mesh, tree):
         lambda x: jax.device_put(x, sharding), tree)
 
 
+_replicate_cache: dict = {}
+
+
+def replicate_cached(mesh: Mesh, tree):
+    """`replicate` memoized on (mesh, tree identity): prediction loops call
+    the wrapper once per HDF5 file / interval with the same host params —
+    without the cache every call would re-transfer the weights to every
+    device.  The original tree is kept referenced so its id() stays valid."""
+    key = (mesh, id(tree))
+    hit = _replicate_cache.get(key)
+    if hit is not None and hit[0] is tree:
+        return hit[1]
+    replicated = replicate(mesh, tree)
+    _replicate_cache[key] = (tree, replicated)
+    return replicated
+
+
 def pad_to_multiple(array, multiple, axis=0):
     """Pad axis 0 up to a multiple (needed to shard uneven batches)."""
     n = array.shape[axis]

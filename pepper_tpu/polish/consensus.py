@@ -122,28 +122,47 @@ def dry_consensus_labels(images: np.ndarray):
 
 
 def consensus_predict(params, images: np.ndarray, batch_size: int = 512,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32, mesh=None):
     """Batched host wrapper: (N, 1000, 10) uint8 images -> (labels, phred)
-    numpy arrays, padding the final batch so jit compiles once."""
+    numpy arrays, padding the final batch so jit compiles once.
+
+    With a mesh, the chunk batch axis is sharded over the mesh's data axis
+    and the params are replicated — the TPU equivalent of the reference
+    fanning polish consensus over every CUDA device
+    (pepper/modules/python/models/predict_distributed_gpu.py:39-70).  The
+    hidden carry is per-sequence, so batch DP is exact: sharded and
+    single-device runs produce identical labels/phred."""
     n = len(images)
     if n == 0:
         return (np.zeros((0, SEQ_LENGTH), np.int32),
                 np.zeros((0, SEQ_LENGTH), np.float32))
+    n_devices = 1
+    if mesh is not None:
+        from ..parallel.mesh import replicate_cached, shard_batch
+
+        n_devices = len(mesh.devices.ravel())
+        batch_size = -(-batch_size // n_devices) * n_devices
+        params = replicate_cached(mesh, params)
     all_labels = np.zeros((n, SEQ_LENGTH), np.int32)
     all_phred = np.zeros((n, SEQ_LENGTH), np.float32)
     for start in range(0, n, batch_size):
         chunk = images[start:start + batch_size]
         # pad to a power-of-two bucket (≤ batch_size) so small runs don't
-        # pay a full batch while jit still compiles at most once per bucket
+        # pay a full batch while jit still compiles at most once per
+        # bucket; under a mesh the bucket also rounds up to a device
+        # multiple so every shard is non-empty and equal-sized
         bucket = 32
         while bucket < len(chunk):
             bucket *= 2
         bucket = min(bucket, batch_size)
+        bucket = -(-bucket // n_devices) * n_devices
         padded = np.zeros((bucket, SEQ_LENGTH, images.shape[2]),
                           np.float32)
         padded[:len(chunk)] = chunk
-        _, labels, phred = consensus_scan(
-            params, jnp.asarray(padded, compute_dtype))
+        device_batch = jnp.asarray(padded, compute_dtype)
+        if mesh is not None:
+            device_batch = shard_batch(mesh, device_batch)
+        _, labels, phred = consensus_scan(params, device_batch)
         all_labels[start:start + len(chunk)] = np.asarray(
             labels)[:len(chunk)]
         all_phred[start:start + len(chunk)] = np.asarray(phred)[:len(chunk)]

@@ -321,9 +321,22 @@ def make_polish_images(options, output_dir: str):
     return files[0] if len(files) == 1 else files
 
 
+def _consensus_mesh(options):
+    """Data-parallel mesh for consensus batches, or None (single chip) —
+    the accelerator fan-out of the reference's polish inference
+    (predict_distributed_gpu.py:39-70), driven by --num_devices like
+    call_variant's classifier sharding.  Dry runs never touch devices."""
+    if getattr(options, "dry", False):
+        return None
+    from ..parallel.mesh import local_mesh
+
+    return local_mesh(getattr(options, "num_devices", 1))
+
+
 def call_consensus(options, image_dir: str, output_dir: str, params):
     """Images HDF5 -> sliding-window GRU predictions HDF5."""
     os.makedirs(output_dir, exist_ok=True)
+    mesh = _consensus_mesh(options)
     output_file = os.path.join(output_dir, "pepper_prediction_0.hdf")
     image_files = sorted(
         os.path.join(image_dir, f) for f in os.listdir(image_dir)
@@ -342,7 +355,8 @@ def call_consensus(options, image_dir: str, output_dir: str, params):
                 labels, phred = dry_consensus_labels(image_stack)
             else:
                 labels, phred = consensus_predict(
-                    params, image_stack, batch_size=options.batch_size)
+                    params, image_stack, batch_size=options.batch_size,
+                    mesh=mesh)
             for i, record in enumerate(records):
                 store.write_prediction(
                     record["contig"], record["region_start"],
@@ -416,6 +430,7 @@ def polish_sharded(options, params, manifest_dir=None):
     log_info(f"HOST {process_index}/{process_count}: "
              f"{len(pending)}/{len(my_intervals)} INTERVALS PENDING")
 
+    mesh = _consensus_mesh(options)
     output_file = os.path.join(prediction_dir,
                                f"pepper_prediction_{process_index}.hdf")
     mode = "a" if os.path.exists(output_file) else "w"
@@ -434,7 +449,8 @@ def polish_sharded(options, params, manifest_dir=None):
                     labels, phred = dry_consensus_labels(image_stack)
                 else:
                     labels, phred = consensus_predict(
-                        params, image_stack, batch_size=options.batch_size)
+                        params, image_stack, batch_size=options.batch_size,
+                        mesh=mesh)
                 for i in range(len(images)):
                     store.write_prediction(
                         contig, start, end, chunk_ids[i], positions[i][:, 0],

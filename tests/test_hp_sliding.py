@@ -60,6 +60,25 @@ def test_predict_hp_pair():
     np.testing.assert_array_equal(v1, v1b)
 
 
+def test_predict_hp_mesh_matches_single_device():
+    """Mesh-sharded HP prediction (batch DP over the 8-device mesh, the
+    predict_hp_distributed_gpu.py fan-out) must equal single-device votes
+    bit-for-bit — the integer vote scaling makes the merge deterministic."""
+    from pepper_tpu.parallel.mesh import get_mesh
+
+    config = PolishConfig(image_features=8, hidden=128, num_classes=5)
+    params = init_polish_params(jax.random.PRNGKey(5), config)
+    # batch 5: not a multiple of 8 devices -> exercises pad + unpad
+    im1 = jax.random.normal(jax.random.PRNGKey(6), (5, 200, 8))
+    im2 = jax.random.normal(jax.random.PRNGKey(7), (5, 200, 8))
+    v1, v2 = predict_hp(params, im1, im2, allow_kernel=False)
+    mesh = get_mesh()
+    m1, m2 = predict_hp(params, np.asarray(im1), np.asarray(im2),
+                        allow_kernel=False, mesh=mesh)
+    np.testing.assert_array_equal(m1, v1)
+    np.testing.assert_array_equal(m2, v2)
+
+
 def test_hp_prediction_store_roundtrip(tmp_path):
     path = str(tmp_path / "pred_hp.hdf5")
     position = np.arange(100, 300, dtype=np.int32)

@@ -11,7 +11,8 @@ from pepper_tpu.io.bam_writer import write_bam, write_fasta
 from pepper_tpu.models.polish_gru import (
     init_polish_params, polish_forward)
 from pepper_tpu.options import PepperOptions
-from pepper_tpu.polish.consensus import consensus_scan, dry_consensus_labels
+from pepper_tpu.polish.consensus import (
+    consensus_predict, consensus_scan, dry_consensus_labels)
 from pepper_tpu.polish.pipeline import polish
 from pepper_tpu.polish.summary import PolishSummary, get_feature_index
 
@@ -212,6 +213,56 @@ def test_polish_tbptt_training(polish_sim, tmp_path):
     loss, confusion = eval_step(params, images, labels.astype(np.int32),
                                 mask)
     assert np.asarray(confusion).sum() == images.shape[0] * 1000
+
+
+def test_consensus_predict_mesh_matches_single_device():
+    """Batch-sharded consensus over the 8-device mesh must match the
+    single-device run exactly (per-sequence hidden carry -> batch DP is
+    exact; the reference fans this over CUDA devices,
+    predict_distributed_gpu.py:39-70)."""
+    import jax
+
+    from pepper_tpu.parallel.mesh import get_mesh
+
+    params = init_polish_params(jax.random.PRNGKey(5))
+    rng = np.random.RandomState(5)
+    images = rng.randint(0, 40, size=(19, 1000, 10)).astype(np.float32)
+
+    labels_1, phred_1 = consensus_predict(params, images, batch_size=8)
+    mesh = get_mesh()
+    assert len(mesh.devices.ravel()) == 8
+    labels_8, phred_8 = consensus_predict(params, images, batch_size=8,
+                                          mesh=mesh)
+    np.testing.assert_array_equal(labels_8, labels_1)
+    np.testing.assert_allclose(phred_8, phred_1, atol=1e-4)
+
+
+def test_polish_cli_num_devices_fasta_equality(polish_sim, tmp_path):
+    """CLI e2e: `pepper_tpu_polish polish --num_devices -1` (8 virtual
+    devices under the test mesh) writes a byte-identical consensus FASTA
+    to --num_devices 1."""
+    import jax
+
+    from pepper_tpu.cli.polish_main import main as polish_cli
+    from pepper_tpu.models.checkpoint import save_params
+
+    params = init_polish_params(jax.random.PRNGKey(6))
+    model = str(tmp_path / "polish_model.npz")
+    save_params(model, jax.tree_util.tree_map(np.asarray, params), {})
+
+    outputs = {}
+    for n in ("1", "-1"):
+        out = str(tmp_path / f"out_{n}")
+        rc = polish_cli([
+            "polish", "-b", polish_sim["bam"], "-f", polish_sim["fasta"],
+            "-o", out, "-m", model, "--batch_size", "8",
+            "--num_devices", n])
+        assert rc == 0
+        with open(os.path.join(out, "consensus_pepper_polished.fa"),
+                  "rb") as f:
+            outputs[n] = f.read()
+        assert outputs[n].startswith(f">{CONTIG}".encode())
+    assert outputs["1"] == outputs["-1"]
 
 
 def test_polish_sharded_resume(polish_sim, tmp_path):
