@@ -60,6 +60,33 @@ def replicate(mesh: Mesh, tree):
         lambda x: jax.device_put(x, sharding), tree)
 
 
+def make_global_batch(mesh: Mesh, array):
+    """Batch rows -> a batch-sharded array on the mesh.
+
+    Single-process: a plain sharded device_put (shard_batch).  Under
+    jax.distributed (multi-host training, the TPU-native equivalent of the
+    reference's DDP loop, pepper/.../models/train_distributed.py:254-283):
+    every process passes ONLY the rows its own devices hold (its contiguous
+    slice of the global batch in mesh-device order) and the global array is
+    assembled with jax.make_array_from_process_local_data — no cross-host
+    data movement."""
+    import jax
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_process_local_data(sharding, array)
+
+
+def host_batch_rows(array, process_index: int, process_count: int):
+    """This host's contiguous row-slice of a global batch whose length is a
+    multiple of the global device count (and therefore of process_count,
+    with equal devices per process — mesh-device order groups rows by
+    process)."""
+    per_host = len(array) // process_count
+    return array[process_index * per_host:(process_index + 1) * per_host]
+
+
 _replicate_cache: dict = {}
 
 

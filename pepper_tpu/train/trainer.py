@@ -21,7 +21,8 @@ import optax
 from ..models.checkpoint import load_params, save_params
 from ..models.transducer import TransducerConfig, init_transducer_params
 from ..options import ImageOptions, ImageOptionsHP
-from ..parallel.mesh import get_mesh, pad_to_multiple, replicate, shard_batch
+from ..parallel.mesh import (get_mesh, host_batch_rows, make_global_batch,
+                             pad_to_multiple, replicate)
 from .data import batch_iterator, load_image_dir
 from .step import make_eval_step, make_train_step
 
@@ -66,13 +67,16 @@ def _pad_batch(images, labels, n_devices):
 
 
 def evaluate(params, images, labels, eval_step, batch_size: int,
-             n_devices: int):
+             n_devices: int, shard_fn=None):
     total_loss = 0.0
     confusion = np.zeros((3, 3), np.int64)
     for start in range(0, len(images), batch_size):
         padded_images, padded_labels, mask = _pad_batch(
             images[start:start + batch_size],
             labels[start:start + batch_size], n_devices)
+        if shard_fn is not None:
+            padded_images, padded_labels, mask = shard_fn(
+                padded_images, padded_labels, mask)
         loss, conf = eval_step(params, padded_images, padded_labels, mask)
         total_loss += float(loss)
         confusion += np.asarray(conf)
@@ -102,8 +106,33 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
         images, type_labels = images[train_index], type_labels[train_index]
 
     batch_size = batch_size or options.batch_size
+    # get_mesh() spans jax.devices() — ALL devices, across every process
+    # when jax.distributed is initialized.  Multi-host data-parallel
+    # training (the TPU-native equivalent of the reference's DDP loop,
+    # pepper/.../models/train_distributed.py:254-283) therefore needs no
+    # separate step: params replicate over the global mesh and XLA's
+    # gradient all-reduce (psum) rides ICI/DCN across hosts.  Every host
+    # must load the SAME image_dir; each global batch is split into
+    # per-host row slices (the DistributedSampler role) and reassembled
+    # with jax.make_array_from_process_local_data.
     mesh = get_mesh()
     n_devices = len(mesh.devices.ravel())
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+    if process_count > 1:
+        _log(f"MULTI-HOST TRAINING: host {process_index}/{process_count}, "
+             f"{n_devices} global devices")
+
+    def shard_train_batch(padded_images, padded_labels, mask):
+        if process_count > 1:
+            padded_images = host_batch_rows(padded_images, process_index,
+                                            process_count)
+            padded_labels = host_batch_rows(padded_labels, process_index,
+                                            process_count)
+            mask = host_batch_rows(mask, process_index, process_count)
+        return (make_global_batch(mesh, padded_images),
+                make_global_batch(mesh, padded_labels),
+                make_global_batch(mesh, mask))
 
     if config is None:
         if options.use_hp_info:
@@ -178,10 +207,22 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
             return family.calibrate(train_params, calib_images)
         return train_params
 
-    train_log = open(os.path.join(output_dir, "train_loss.csv"), "w")
-    test_log = open(os.path.join(output_dir, "test_loss.csv"), "w")
-    confusion_log = open(os.path.join(output_dir, "confusion_matrix.txt"),
-                         "w")
+    # only rank 0 writes logs/checkpoints (every rank still computes the
+    # eval — it is a collective over the global mesh)
+    class _NullLog:
+        def write(self, *_):
+            pass
+
+        def close(self):
+            pass
+
+    if process_index == 0:
+        train_log = open(os.path.join(output_dir, "train_loss.csv"), "w")
+        test_log = open(os.path.join(output_dir, "test_loss.csv"), "w")
+        confusion_log = open(
+            os.path.join(output_dir, "confusion_matrix.txt"), "w")
+    else:
+        train_log = test_log = confusion_log = _NullLog()
 
     data_rng = np.random.RandomState(seed + 1)
     dropout_key = jax.random.PRNGKey(seed + 2)
@@ -194,9 +235,8 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
             padded_images, padded_labels, mask = _pad_batch(
                 batch_images, batch_labels, n_devices)
             dropout_key, step_key = jax.random.split(dropout_key)
-            padded_images = shard_batch(mesh, padded_images)
-            padded_labels = shard_batch(mesh, padded_labels)
-            mask = shard_batch(mesh, mask)
+            padded_images, padded_labels, mask = shard_train_batch(
+                padded_images, padded_labels, mask)
             params, opt_state, metrics = train_step(
                 params, opt_state, padded_images, padded_labels, step_key,
                 mask)
@@ -209,10 +249,12 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                 eval_params = snapshot(params)
                 test_loss, confusion, accuracy = evaluate(
                     eval_params, test_images, test_labels, eval_step,
-                    batch_size, n_devices)
+                    batch_size, n_devices, shard_fn=shard_train_batch)
                 test_log.write(f"{epoch},{global_step},{test_loss},"
                                f"{accuracy}\n")
                 confusion_log.write(f"step {global_step}\n{confusion}\n")
+                # deterministic given the (replicated) accuracy, so every
+                # rank applies the same LR without coordination
                 new_lr = scheduler.step(accuracy)
                 opt_state.hyperparams["learning_rate"] = np.asarray(
                     new_lr, np.float32)
@@ -221,47 +263,54 @@ def train_model(options, image_dir: str, output_dir: str, *, epochs: int = 10,
                 checkpoint_path = os.path.join(
                     output_dir, f"pepper_model_step_{global_step}.npz")
                 host_params = jax.tree_util.tree_map(np.asarray, eval_params)
-                save_params(checkpoint_path, host_params,
-                            {"epochs": epoch, "step": global_step,
-                             "accuracy": float(accuracy),
-                             "hidden_size": config.hidden, "gru_layers": 1,
-                             "model_type": model_type})
-                try:  # crash-safe full train state (params + optimizer)
-                    from .orbax_io import save_train_state
-
-                    save_train_state(os.path.join(output_dir, "orbax"),
-                                     global_step, params, opt_state,
-                                     {"epoch": epoch,
-                                      "accuracy": float(accuracy)})
-                except Exception:
-                    pass  # orbax unavailable: .npz checkpoints remain
-                if accuracy > best_accuracy:
-                    best_accuracy = accuracy
-                    save_params(os.path.join(output_dir, "pepper_model_best.npz"),
-                                host_params,
+                if process_index == 0:
+                    save_params(checkpoint_path, host_params,
                                 {"epochs": epoch, "step": global_step,
                                  "accuracy": float(accuracy),
                                  "hidden_size": config.hidden,
                                  "gru_layers": 1,
                                  "model_type": model_type})
+                    try:  # crash-safe full train state (params + optimizer)
+                        from .orbax_io import save_train_state
+
+                        save_train_state(os.path.join(output_dir, "orbax"),
+                                         global_step, params, opt_state,
+                                         {"epoch": epoch,
+                                          "accuracy": float(accuracy)})
+                    except Exception:
+                        pass  # orbax unavailable: .npz checkpoints remain
+                if accuracy > best_accuracy:
+                    best_accuracy = accuracy
+                    if process_index == 0:
+                        save_params(
+                            os.path.join(output_dir,
+                                         "pepper_model_best.npz"),
+                            host_params,
+                            {"epochs": epoch, "step": global_step,
+                             "accuracy": float(accuracy),
+                             "hidden_size": config.hidden,
+                             "gru_layers": 1,
+                             "model_type": model_type})
         _log(f"EPOCH {epoch} TRAIN LOSS: {epoch_loss:.3f}")
 
     # final eval + checkpoint
     eval_params = snapshot(params)
     test_loss, confusion, accuracy = evaluate(eval_params, test_images,
                                               test_labels, eval_step,
-                                              batch_size, n_devices)
+                                              batch_size, n_devices,
+                                              shard_fn=shard_train_batch)
     _log(f"FINAL ACCURACY: {accuracy:.3f}")
     confusion_log.write(f"final\n{confusion}\n")
     host_params = jax.tree_util.tree_map(np.asarray, eval_params)
     meta = {"epochs": epochs, "accuracy": float(accuracy),
             "hidden_size": config.hidden, "gru_layers": 1,
             "model_type": model_type}
-    save_params(os.path.join(output_dir, "pepper_model_final.npz"),
-                host_params, meta)
-    if accuracy > best_accuracy:
-        save_params(os.path.join(output_dir, "pepper_model_best.npz"),
+    if process_index == 0:
+        save_params(os.path.join(output_dir, "pepper_model_final.npz"),
                     host_params, meta)
+        if accuracy > best_accuracy:
+            save_params(os.path.join(output_dir, "pepper_model_best.npz"),
+                        host_params, meta)
     train_log.close()
     test_log.close()
     confusion_log.close()

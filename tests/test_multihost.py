@@ -21,6 +21,70 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def test_two_process_multihost_training_matches_single_process(tmp_path):
+    """Real 2-process multi-host DP training (jax.distributed rendezvous,
+    1 CPU device per process -> 2-device global mesh, per-host batch
+    slices via make_array_from_process_local_data, XLA psum gradient
+    all-reduce) must reproduce the single-process 2-device run on the
+    same data: identical final params and accuracy.  SURVEY §2.4's
+    TPU-native equivalent of the reference's live DDP loop
+    (pepper/modules/python/models/train_distributed.py:254-283)."""
+    import h5py
+    import numpy as np
+
+    # synthetic labeled image store (ImageStore layout subset that
+    # train/data.py load_image_dir reads)
+    image_dir = str(tmp_path / "images")
+    os.makedirs(image_dir)
+    rng = np.random.RandomState(7)
+    images = rng.randint(-20, 21, size=(96, 33, 26)).astype(np.int8)
+    labels = rng.randint(0, 3, size=96).astype(np.uint8)
+    with h5py.File(os.path.join(image_dir, "train.hdf5"), "w") as f:
+        f["summaries/s0/images"] = images
+        f["summaries/s0/type_label"] = labels
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_train_worker.py")
+    pythonpath = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(worker))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep))
+
+    def run(n_procs, devices_per_proc, out_name):
+        out_dir = str(tmp_path / out_name)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count="
+                             f"{devices_per_proc}",
+                   PYTHONPATH=pythonpath)
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, coordinator, str(n_procs),
+                 str(rank), image_dir, out_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for rank in range(n_procs)
+        ]
+        for proc in procs:
+            out, _ = proc.communicate(timeout=240)
+            assert proc.returncode == 0, out.decode()[-3000:]
+        return out_dir
+
+    single_dir = run(1, 2, "single")   # one process, 2 devices
+    dist_dir = run(2, 1, "dist")       # two processes, 1 device each
+
+    single = np.load(os.path.join(single_dir, "pepper_model_final.npz"),
+                     allow_pickle=True)
+    dist = np.load(os.path.join(dist_dir, "pepper_model_final.npz"),
+                   allow_pickle=True)
+    # rank 1 must not have written checkpoints (rank-0-only writes)
+    assert not os.path.exists(os.path.join(dist_dir, "train_loss.csv")) \
+        or os.path.getsize(os.path.join(dist_dir, "train_loss.csv")) > 0
+    keys = sorted(k for k in single.files if k != "__meta__")
+    assert keys == sorted(k for k in dist.files if k != "__meta__")
+    for key in keys:
+        np.testing.assert_allclose(dist[key], single[key], atol=2e-4,
+                                   err_msg=key)
+
+
 def test_two_process_sharded_call_variant(tmp_path):
     ref = random_reference(5000, seed=88)
     alt = {"A": "T", "T": "A", "C": "G", "G": "C"}
