@@ -174,30 +174,68 @@ namespace {
 // templated on the vector width (SSE2: 8 lanes, AVX2: 16 lanes).
 //
 // Produces results bit-identical to smith_waterman_scalar (fuzz-asserted
-// in tests/test_align.py): the DP stores five packed bitplanes per cell —
-// H-move up/left/none plus E/F gap-extension flags — computed with the
-// scalar engine's exact comparison predicates, and the traceback replays
-// the scalar walk over those bits.  The vertical gap state F is computed
-// EXACTLY (including its negative values, which the bit predicates need)
-// via a prefix-max scan instead of the classic lazy-F loop: with
-// gap_open >= gap_extend, opening from an F-derived H cell never beats
-// extending, so F(i,j) = max over k < i of H0(k,j) - open - (i-1-k)*ext
-//                        , and the virtual row-0 chain -i*ext
+// in tests/test_align.py) by construction: the DP streams the EXACT
+// H/E/F int16 value rows to memory (three plain vector stores per
+// segment-column — round 4 replaced the five packed predicate bitplanes,
+// whose compare+movemask extraction was ~45% of the DP wall) and the
+// traceback recomputes every one of the scalar engine's comparisons
+// verbatim from the stored values.  Streaming (non-temporal) stores keep
+// the ~6 MB/alignment of trace values out of the cache the DP is using.
+// The vertical gap state F is computed EXACTLY (including its negative
+// values, which the traceback predicates need) via a prefix-max scan
+// instead of the classic lazy-F loop: with gap_open >= gap_extend,
+// opening from an F-derived H cell never beats extending, so
+//   F(i,j) = max over k < i of H0(k,j) - open - (i-1-k)*ext
+//            (plus the virtual row-0 chain -i*ext)
 // where H0 = max(diag, E, 0) — a running max of G(k) = H0(k) + k*ext.
 //
 // Striped element mapping: query index q (0-based) lives at segment
 // s = q % seg_len, lane l = q / seg_len (each lane covers a contiguous
 // query block, so in-lane segment order is query order).
-struct StripedPlanes {
+// Trace state: the exact H value plane plus ONE bitplane ("E == H").
+// That is sufficient to replay the scalar walk exactly:
+//  - H(i,j) == 0            -> TRACE_NONE (stop)
+//  - H(i,j) == diag(i,j)    -> TRACE_DIAG (e,f <= H == diag can never win
+//                              the scalar's strict comparisons)
+//  - else e==H bit set      -> TRACE_LEFT (e > diag and the f > e check
+//                              fails: f <= H == e)
+//  - else                   -> TRACE_UP   (f == H > e, diag)
+// Gap runs never need stored E/F either: at a LEFT entry E(i,j) = H(i,j),
+// and the scalar's extension predicate E(i,j-1)-ext > H(i,j-1)-open is
+// equivalent to E(i,j) > H(i,j-1)-open (strict max selection), after
+// which E(i,j-1) = E(i,j)+ext continues the chain — symmetrically for F
+// on UP runs.  All comparisons use the scalar engine's exact values, so
+// CIGARs stay bit-identical by construction.
+struct TracePlanes {
   int64_t seg_len;
-  // planes[j * seg_len + s], bit l  (j 0-based target index)
-  std::vector<uint16_t> up, left, none, e_ext, f_ext;
-  bool bit(const std::vector<uint16_t>& plane, int64_t i, int64_t j) const {
+  int64_t lanes;
+  int64_t stride;  // seg_len * lanes elements per target column
+  const int16_t* h;
+  const uint32_t* e_eq_h;  // movemask_epi8 of cmpeq(e, h): lane l -> bit 2l
+  // boundary row/column 0 is all zeros in the scalar engine
+  int32_t H(int64_t i, int64_t j) const {
+    if (i < 1 || j < 1) return 0;
     const int64_t q = i - 1;
-    return (plane[(j - 1) * seg_len + (q % seg_len)] >>
-            (q / seg_len)) & 1;
+    return h[(j - 1) * stride + (q % seg_len) * lanes + (q / seg_len)];
+  }
+  bool left_bit(int64_t i, int64_t j) const {
+    const int64_t q = i - 1;
+    return (e_eq_h[(j - 1) * seg_len + (q % seg_len)] >>
+            (2 * (q / seg_len))) & 1;
   }
 };
+
+// reusable 32-byte-aligned plane storage (per thread); oversized requests
+// release their memory after the call instead of pinning it forever
+constexpr size_t kPlaneReuseCap = size_t(16) << 20;
+
+template <typename T>
+inline T* aligned_plane(std::vector<T>& backing, size_t need) {
+  backing.resize(need + 32 / sizeof(T));
+  return reinterpret_cast<T*>(
+      (reinterpret_cast<uintptr_t>(backing.data()) + 31) &
+      ~static_cast<uintptr_t>(31));
+}
 
 struct Sse2Ops {
   using V = __m128i;
@@ -220,9 +258,13 @@ struct Sse2Ops {
   }
   // shift up by one query element (lane 0 receives 0)
   static V shift_one(V v) { return _mm_slli_si128(v, 2); }
-  static uint16_t mask(V cmp) {
-    return static_cast<uint16_t>(static_cast<uint8_t>(_mm_movemask_epi8(
-        _mm_packs_epi16(cmp, _mm_setzero_si128()))));
+  static void stream(int16_t* p, V v) {
+    _mm_stream_si128(reinterpret_cast<__m128i*>(p), v);
+  }
+  // raw byte movemask of cmpeq over int16 lanes: lane l -> bits 2l, 2l+1
+  static uint32_t eq_mask(V a, V b) {
+    return static_cast<uint32_t>(
+        _mm_movemask_epi8(_mm_cmpeq_epi16(a, b)));
   }
 };
 
@@ -252,12 +294,12 @@ struct Avx2Ops {
     const V carry = _mm256_permute2x128_si256(v, v, 0x08);
     return _mm256_alignr_epi8(v, carry, 14);
   }
-  static uint32_t mask(V cmp) {
-    const __m256i packed =
-        _mm256_packs_epi16(cmp, _mm256_setzero_si256());
-    const uint32_t bits =
-        static_cast<uint32_t>(_mm256_movemask_epi8(packed));
-    return (bits & 0xFFu) | ((bits >> 8) & 0xFF00u);
+  static void stream(int16_t* p, V v) {
+    _mm256_stream_si256(reinterpret_cast<__m256i*>(p), v);
+  }
+  static uint32_t eq_mask(V a, V b) {
+    return static_cast<uint32_t>(
+        _mm256_movemask_epi8(_mm256_cmpeq_epi16(a, b)));
   }
 };
 #endif  // __AVX2__
@@ -321,24 +363,29 @@ AlignmentResult smith_waterman_striped_impl(const std::string& target,
   std::vector<V> diag(seg_len), pref(seg_len);
   std::vector<V> v_best(seg_len, v_zero), v_best_j(seg_len, v_zero);
 
-  StripedPlanes planes;
+  static thread_local std::vector<int16_t> tl_h;
+  static thread_local std::vector<uint32_t> tl_bits;
+  const int64_t stride = seg_len * lanes;
+  const size_t plane_elems = static_cast<size_t>(n) * stride;
+  TracePlanes planes;
   planes.seg_len = seg_len;
-  const size_t plane_size = static_cast<size_t>(n) * seg_len;
-  planes.up.resize(plane_size);
-  planes.left.resize(plane_size);
-  planes.none.resize(plane_size);
-  planes.e_ext.resize(plane_size);
-  planes.f_ext.resize(plane_size);
+  planes.lanes = lanes;
+  planes.stride = stride;
+  int16_t* h_plane = aligned_plane(tl_h, plane_elems);
+  uint32_t* bit_plane =
+      aligned_plane(tl_bits, static_cast<size_t>(n) * seg_len);
+  planes.h = h_plane;
+  planes.e_eq_h = bit_plane;
 
   for (int64_t j = 1; j <= n; ++j) {
     const V v_tc = Ops::set1(static_cast<int16_t>(
         static_cast<unsigned char>(target[j - 1])));
-    const size_t col = static_cast<size_t>(j - 1) * seg_len;
-    // E (horizontal gap) + its extension bits, from column j-1 finals
+    int16_t* h_col = h_plane + (j - 1) * stride;
+    uint32_t* bit_col = bit_plane + (j - 1) * seg_len;
+    // E (horizontal gap) from column j-1 finals; diag; H0; G prefix max
     for (int64_t s = 0; s < seg_len; ++s) {
       const V e_ext_v = Ops::sub(e_prev[s], v_gap_ext);
       const V e_open_v = Ops::sub(h_prev[s], v_gap_open);
-      planes.e_ext[col + s] = Ops::mask(Ops::cmpgt(e_ext_v, e_open_v));
       e_new[s] = Ops::max(e_ext_v, e_open_v);
       // diag candidate: H(i-1, j-1) + substitution
       const V h_diag =
@@ -360,7 +407,7 @@ AlignmentResult smith_waterman_striped_impl(const std::string& target,
       running = std::max(running, totals[l]);
     }
     const V v_carry = Ops::load(carries);
-    // F, final H, remaining bitplanes, best tracking
+    // F, final H, the e==H bit, best tracking
     const V v_j = Ops::set1(static_cast<int16_t>(j));
     for (int64_t s = 0; s < seg_len; ++s) {
       const V excl =
@@ -368,31 +415,17 @@ AlignmentResult smith_waterman_striped_impl(const std::string& target,
       const V f_scan = Ops::sub(excl, v_open_decay[s]);
       f_new[s] = Ops::max(f_scan, v_virtual[s]);
       const V h_final = Ops::max(h_new[s], f_new[s]);
-      // bits with the scalar's exact predicates
-      const V best_de = Ops::max(diag[s], e_new[s]);
-      const V up_mask = Ops::cmpgt(f_new[s], best_de);
-      const V e_gt_d = Ops::cmpgt(e_new[s], diag[s]);
-      planes.up[col + s] = Ops::mask(up_mask);
-      planes.left[col + s] = static_cast<uint16_t>(
-          Ops::mask(e_gt_d) & static_cast<uint32_t>(~Ops::mask(up_mask)));
-      planes.none[col + s] = Ops::mask(Ops::cmpeq(h_final, v_zero));
+      Ops::stream(h_col + s * lanes, h_final);
+      bit_col[s] = Ops::eq_mask(e_new[s], h_final);
       h_new[s] = h_final;
       const V better = Ops::cmpgt(h_final, v_best[s]);
       v_best[s] = Ops::max(v_best[s], h_final);
       v_best_j[s] = Ops::blend(v_best_j[s], v_j, better);
     }
-    // f_ext bits: (F(i-1,j) - ext) > (H(i-1,j) - open), row 0 -> zeros
-    for (int64_t s = 0; s < seg_len; ++s) {
-      const V f_up =
-          s == 0 ? Ops::shift_one(f_new[seg_len - 1]) : f_new[s - 1];
-      const V h_up =
-          s == 0 ? Ops::shift_one(h_new[seg_len - 1]) : h_new[s - 1];
-      planes.f_ext[col + s] = Ops::mask(Ops::cmpgt(
-          Ops::sub(f_up, v_gap_ext), Ops::sub(h_up, v_gap_open)));
-    }
     h_prev.swap(h_new);
     e_prev.swap(e_new);
   }
+  _mm_sfence();  // streaming stores must land before the traceback reads
 
   // best cell: minimal (i, j) among maxima — scan per-element bests in
   // query-major order (the scalar's first-strict-improvement order)
@@ -416,42 +449,68 @@ AlignmentResult smith_waterman_striped_impl(const std::string& target,
     }
   }
   result.best_score = best;
-  if (best <= 0) return result;
+  const auto release_oversized = [&]() {
+    if (plane_elems > kPlaneReuseCap) {
+      tl_h.clear();
+      tl_h.shrink_to_fit();
+      tl_bits.clear();
+      tl_bits.shrink_to_fit();
+    }
+  };
+  if (best <= 0) {
+    release_oversized();
+    return result;
+  }
 
-  // traceback: replay the scalar walk over the bitplanes
+  // traceback: replay the scalar walk exactly from the H plane + e==H bit
+  // (see TracePlanes for the move-decision proof); E/F values along gap
+  // runs are reconstructed incrementally (+ext per extension step)
+  const int gap_open = gap_open_penalty;
+  const int gap_ext = gap_extend_penalty;
   std::string ops;
   int64_t i = best_i, j = best_j;
   result.ref_end = best_j - 1;
   result.query_end = best_i - 1;
   while (i > 0 && j > 0) {
-    if (planes.bit(planes.none, i, j)) break;
-    if (planes.bit(planes.up, i, j)) {
-      while (i > 0 && planes.bit(planes.f_ext, i, j)) {
-        ops.push_back('I');
-        --i;
-      }
-      if (i > 0) {
-        ops.push_back('I');
-        --i;
-      }
-    } else if (planes.bit(planes.left, i, j)) {
-      while (j > 0 && planes.bit(planes.e_ext, i, j)) {
+    const int32_t h = planes.H(i, j);
+    if (h == 0) break;  // the scalar's TRACE_NONE
+    const int32_t diag_v =
+        planes.H(i - 1, j - 1) +
+        (query[i - 1] == target[j - 1] ? match_score : -mismatch_penalty);
+    if (h == diag_v) {  // TRACE_DIAG (h >= max(e, f) blocks both gates)
+      ops.push_back(query[i - 1] == target[j - 1] ? '=' : 'X');
+      --i;
+      --j;
+    } else if (planes.left_bit(i, j)) {  // TRACE_LEFT: E(i,j) == h
+      // scalar e_ext(i,j) = E(i,j-1)-ext > H(i,j-1)-open, equivalent to
+      // E(i,j) > H(i,j-1)-open by strict-max selection
+      int32_t e_val = h;
+      while (j > 0 && e_val > planes.H(i, j - 1) - gap_open) {
         ops.push_back('D');
         --j;
+        e_val += gap_ext;
       }
       if (j > 0) {
         ops.push_back('D');
         --j;
       }
-    } else {
-      ops.push_back(query[i - 1] == target[j - 1] ? '=' : 'X');
-      --i;
-      --j;
+    } else {  // TRACE_UP: F(i,j) == h > e, diag
+      int32_t f_val = h;
+      while (i > 0 && f_val > planes.H(i - 1, j) - gap_open) {
+        ops.push_back('I');
+        --i;
+        f_val += gap_ext;
+      }
+      if (i > 0) {
+        ops.push_back('I');
+        --i;
+      }
     }
   }
   result.ref_begin = j;
   result.query_begin = i;
   result.cigar = build_cigar(ops, result.query_begin, result.query_end, m);
+  release_oversized();
   return result;
 }
 
@@ -472,6 +531,29 @@ AlignmentResult smith_waterman_striped(const std::string& target,
 }
 
 }  // namespace
+
+AlignmentResult smith_waterman_striped_narrow(const std::string& target,
+                                              const std::string& query,
+                                              int match_score,
+                                              int mismatch_penalty,
+                                              int gap_open_penalty,
+                                              int gap_extend_penalty) {
+  return smith_waterman_striped_impl<Sse2Ops>(
+      target, query, match_score, mismatch_penalty, gap_open_penalty,
+      gap_extend_penalty);
+}
+
+#else  // !__SSE2__
+
+AlignmentResult smith_waterman_striped_narrow(const std::string& target,
+                                              const std::string& query,
+                                              int match_score,
+                                              int mismatch_penalty,
+                                              int gap_open_penalty,
+                                              int gap_extend_penalty) {
+  return smith_waterman_scalar(target, query, match_score, mismatch_penalty,
+                               gap_open_penalty, gap_extend_penalty);
+}
 
 #endif  // __SSE2__
 
@@ -528,10 +610,15 @@ AlignmentResult smith_waterman(const std::string& target,
   // range: scores/decays bounded by the ext*len + open terms (which also
   // bound m and n, since gap_extend >= 1 is required), target index j in
   // the best-cell tracker bounded by n, and the raw penalties themselves
+  // value-plane memory guard: the striped engine streams exact H/E/F int16
+  // rows (3 planes of n x padded-m cells); beyond ~16M padded cells
+  // (~100 MB transient) the scalar engine is the better citizen
+  const int64_t padded_m = (m + 15) / 16 * 16;
   if (m > 0 && n > 0 && gap_open_penalty >= gap_extend_penalty &&
       gap_extend_penalty >= 1 && mismatch_penalty >= 0 &&
       mismatch_penalty <= 30000 && match_score <= 30000 &&
       gap_open_penalty <= 30000 && n <= 30000 &&
+      n * padded_m <= (int64_t(1) << 24) &&
       max_h + gap_extend_penalty * m <= 30000 &&
       gap_extend_penalty * n + gap_open_penalty <= 30000 &&
       max_h <= 30000) {

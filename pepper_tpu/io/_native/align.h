@@ -29,3 +29,14 @@ AlignmentResult smith_waterman_scalar(const std::string& target,
                                       int match_score, int mismatch_penalty,
                                       int gap_open_penalty,
                                       int gap_extend_penalty);
+
+// The 8-lane (SSE2-width) striped engine, exported so width parity can be
+// fuzzed on AVX2 hosts where auto-dispatch would only ever exercise the
+// 16-lane build.  Callers must respect the striped range guards; falls
+// back to scalar when SSE2 is unavailable.
+AlignmentResult smith_waterman_striped_narrow(const std::string& target,
+                                              const std::string& query,
+                                              int match_score,
+                                              int mismatch_penalty,
+                                              int gap_open_penalty,
+                                              int gap_extend_penalty);

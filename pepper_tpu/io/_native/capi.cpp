@@ -109,6 +109,13 @@ void* pepper_align_scalar(const char* target, const char* query,
       target, query, match_score, mismatch_penalty, gap_open, gap_ext));
 }
 
+void* pepper_align_narrow(const char* target, const char* query,
+                          int match_score, int mismatch_penalty,
+                          int gap_open, int gap_ext) {
+  return new AlignmentResult(smith_waterman_striped_narrow(
+      target, query, match_score, mismatch_penalty, gap_open, gap_ext));
+}
+
 void pepper_align_free(void* a) { delete static_cast<AlignmentResult*>(a); }
 
 int pepper_align_score(void* a) {
@@ -128,6 +135,26 @@ long long pepper_align_query_end(void* a) {
 }
 const char* pepper_align_cigar(void* a) {
   return static_cast<AlignmentResult*>(a)->cigar.c_str();
+}
+
+// ---------------- Polish summary walk ----------------
+
+long long pepper_polish_summary(
+    const long long* pos, const long long* seq_offsets,
+    const unsigned char* seq, const long long* cigar_offsets,
+    const unsigned char* cigar_ops, const int* cigar_lens, const int* mapq,
+    const int* flag, long long n_reads, long long region_start,
+    long long region_end, double* base_dense, double* cov_dense,
+    int* insert_events, long long insert_cap) {
+  return polish_summary_walk(
+      reinterpret_cast<const int64_t*>(pos),
+      reinterpret_cast<const int64_t*>(seq_offsets), seq,
+      reinterpret_cast<const int64_t*>(cigar_offsets), cigar_ops,
+      reinterpret_cast<const int32_t*>(cigar_lens),
+      reinterpret_cast<const int32_t*>(mapq),
+      reinterpret_cast<const int32_t*>(flag), n_reads, region_start,
+      region_end, base_dense, cov_dense,
+      reinterpret_cast<int32_t*>(insert_events), insert_cap);
 }
 
 // ---------------- Pileup ----------------

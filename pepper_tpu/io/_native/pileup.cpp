@@ -556,3 +556,112 @@ PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
   }
   return result;
 }
+
+// ---------------- polish-mode summary walk ----------------
+// Semantics-exact to polish/summary.py _iterate_over_read (itself exact to
+// pepper summary_generator.cpp:60-140): see pileup.h for the contract.
+
+namespace {
+
+struct PolishFeatureLuts {
+  uint8_t fwd[256];
+  uint8_t rev[256];
+  PolishFeatureLuts() {
+    for (int i = 0; i < 256; ++i) {
+      fwd[i] = 9;
+      rev[i] = 8;
+    }
+    const char* bases = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      const unsigned char upper = static_cast<unsigned char>(bases[i]);
+      const unsigned char lower = static_cast<unsigned char>(bases[i] + 32);
+      fwd[upper] = fwd[lower] = static_cast<uint8_t>(4 + i);
+      rev[upper] = rev[lower] = static_cast<uint8_t>(i);
+    }
+  }
+};
+
+const PolishFeatureLuts& polish_luts() {
+  static const PolishFeatureLuts luts;
+  return luts;
+}
+
+}  // namespace
+
+long long polish_summary_walk(
+    const int64_t* pos, const int64_t* seq_offsets, const uint8_t* seq,
+    const int64_t* cigar_offsets, const uint8_t* cigar_ops,
+    const int32_t* cigar_lens, const int32_t* mapq, const int32_t* flag,
+    int64_t n_reads, int64_t region_start, int64_t region_end,
+    double* base_dense, double* cov_dense, int32_t* insert_events,
+    int64_t insert_cap) {
+  constexpr int kOpMatch = 0, kOpIns = 1, kOpDel = 2, kOpRefSkip = 3,
+                kOpSoftClip = 4, kOpPad = 6, kOpEqual = 7, kOpDiff = 8;
+  const PolishFeatureLuts& luts = polish_luts();
+  int64_t n_events = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    if (mapq[r] <= 0) continue;
+    const uint8_t* lut = (flag[r] & 0x10) ? luts.rev : luts.fwd;
+    const int star_feature = (flag[r] & 0x10) ? 8 : 9;
+    int64_t read_index = seq_offsets[r];
+    int64_t ref_position = pos[r];
+    const int64_t cigar_begin = cigar_offsets[r];
+    const int64_t cigar_end = cigar_offsets[r + 1];
+    for (int64_t c = cigar_begin; c < cigar_end; ++c) {
+      if (ref_position > region_end) break;
+      const int op = cigar_ops[c];
+      const int64_t length = cigar_lens[c];
+      if (op == kOpMatch || op == kOpEqual || op == kOpDiff) {
+        int64_t start_i = 0;
+        if (ref_position < region_start) {
+          start_i = std::min(region_start - ref_position, length);
+          read_index += start_i;
+          ref_position += start_i;
+        }
+        const int64_t span =
+            std::min(length - start_i, region_end - ref_position + 1);
+        if (span > 0) {
+          const int64_t row0 = ref_position - region_start;
+          for (int64_t i = 0; i < span; ++i) {
+            base_dense[(row0 + i) * 10 + lut[seq[read_index + i]]] += 1.0;
+            cov_dense[row0 + i] += 1.0;
+          }
+        }
+        read_index += length - start_i;
+        ref_position += length - start_i;
+      } else if (op == kOpIns) {
+        const int64_t anchor = ref_position - 1;
+        if (anchor >= region_start && anchor <= region_end) {
+          if (n_events + length > insert_cap) return -1;
+          const int32_t anchor_off =
+              static_cast<int32_t>(anchor - region_start);
+          for (int64_t i = 0; i < length; ++i) {
+            insert_events[n_events * 3 + 0] = anchor_off;
+            insert_events[n_events * 3 + 1] = static_cast<int32_t>(i);
+            insert_events[n_events * 3 + 2] = lut[seq[read_index + i]];
+            ++n_events;
+          }
+        }
+        read_index += length;
+      } else if (op == kOpDel || op == kOpRefSkip || op == kOpPad) {
+        const int64_t lo = std::max(ref_position, region_start);
+        const int64_t hi =
+            std::min(ref_position + length - 1, region_end);
+        if (hi >= lo) {
+          for (int64_t p = lo; p <= hi; ++p)
+            base_dense[(p - region_start) * 10 + star_feature] += 1.0;
+          // reference quirk: coverage is booked at the deletion anchor,
+          // once per in-region deleted base
+          if (ref_position >= region_start && ref_position <= region_end)
+            cov_dense[ref_position - region_start] +=
+                static_cast<double>(hi - lo + 1);
+        }
+        ref_position += length;
+      } else if (op == kOpSoftClip) {
+        read_index += length;
+      }
+      // hard clip / others: nothing
+    }
+  }
+  return n_events;
+}

@@ -45,3 +45,19 @@ PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
                         int64_t ref_start, int64_t ref_end,
                         double min_snp_baseq, double min_indel_baseq,
                         int hp_mode);
+
+// Polish-mode summary walk (pepper summary_generator.cpp:60-140 semantics;
+// golden spec: pepper_tpu/polish/summary.py _iterate_over_read).  Walks
+// every read with mapq > 0, accumulating the 10-channel base/coverage
+// dense arrays over [region_start, region_end] (incl. the
+// deletion-coverage-at-anchor quirk) and emitting one (anchor_offset,
+// insert_index, feature) int32 triple per in-region inserted base into
+// insert_events.  Returns the number of triples written, or -1 if
+// insert_cap (in triples) would be exceeded.
+long long polish_summary_walk(
+    const int64_t* pos, const int64_t* seq_offsets, const uint8_t* seq,
+    const int64_t* cigar_offsets, const uint8_t* cigar_ops,
+    const int32_t* cigar_lens, const int32_t* mapq, const int32_t* flag,
+    int64_t n_reads, int64_t region_start, int64_t region_end,
+    double* base_dense, double* cov_dense, int32_t* insert_events,
+    int64_t insert_cap);

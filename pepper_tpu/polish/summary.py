@@ -54,6 +54,77 @@ for _i, _b in enumerate("ACGT"):
         _REV_LUT[ord(_c)] = _i
 
 
+_native_walk_fn = None
+
+
+def _native_summary_walk(summary, batch: ReadBatch) -> bool:
+    """Run the C summary walk (pileup.cpp polish_summary_walk) into the
+    summary's dense/insert accumulators.  Returns False if the native
+    library is unavailable (caller falls back to the Python loop)."""
+    global _native_walk_fn
+    if _native_walk_fn is None:
+        try:
+            import ctypes
+
+            from ..io.native import get_lib
+
+            lib = get_lib()
+            fn = lib.pepper_polish_summary
+            c = ctypes
+            fn.restype = c.c_longlong
+            fn.argtypes = [
+                c.POINTER(c.c_longlong), c.POINTER(c.c_longlong),
+                c.POINTER(c.c_ubyte), c.POINTER(c.c_longlong),
+                c.POINTER(c.c_ubyte), c.POINTER(c.c_int),
+                c.POINTER(c.c_int), c.POINTER(c.c_int), c.c_longlong,
+                c.c_longlong, c.c_longlong, c.POINTER(c.c_double),
+                c.POINTER(c.c_double), c.POINTER(c.c_int), c.c_longlong]
+            _native_walk_fn = fn
+        except (OSError, AttributeError):
+            _native_walk_fn = False
+    if _native_walk_fn is False:
+        return False
+    summary._ensure_dense()
+
+    import ctypes
+
+    def ptr(array, ctype):
+        return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+    c = ctypes
+    pos = np.ascontiguousarray(batch.pos, np.int64)
+    seq_offsets = np.ascontiguousarray(batch.seq_offsets, np.int64)
+    seq = np.ascontiguousarray(batch.seq, np.uint8)
+    cigar_offsets = np.ascontiguousarray(batch.cigar_offsets, np.int64)
+    cigar_ops = np.ascontiguousarray(batch.cigar_ops, np.uint8)
+    cigar_lens = np.ascontiguousarray(batch.cigar_lens, np.int32)
+    mapq = np.ascontiguousarray(batch.mapq, np.int32)
+    flag = np.ascontiguousarray(batch.flag, np.int32)
+    # one event per inserted base, 3 int32 each — seq length bounds it
+    cap = int(len(seq)) + 16
+    events = np.empty(3 * cap, np.int32)
+    n_events = _native_walk_fn(
+        ptr(pos, c.c_longlong), ptr(seq_offsets, c.c_longlong),
+        ptr(seq, c.c_ubyte), ptr(cigar_offsets, c.c_longlong),
+        ptr(cigar_ops, c.c_ubyte), ptr(cigar_lens, c.c_int),
+        ptr(mapq, c.c_int), ptr(flag, c.c_int), len(pos),
+        summary.ref_start, summary.ref_end,
+        ptr(summary._base_dense, c.c_double),
+        ptr(summary._cov_dense, c.c_double), ptr(events, c.c_int), cap)
+    if n_events < 0:
+        return False  # cannot happen with the seq-length cap; be safe
+    if n_events:
+        triples = events[:3 * n_events].reshape(-1, 3)
+        uniq, counts = np.unique(triples, axis=0, return_counts=True)
+        for (anchor_off, i, feature), count in zip(uniq.tolist(),
+                                                   counts.tolist()):
+            anchor = summary.ref_start + anchor_off
+            summary.insert_summaries[((anchor, i), feature)] += float(count)
+            if i + 1 > summary.longest_insert_count[anchor]:
+                summary.longest_insert_count[anchor] = i + 1
+    return True
+
+
 @dataclass
 class PolishSummary:
     """Accumulates base/insert summaries for one region, then renders the
@@ -236,12 +307,23 @@ class PolishSummary:
                     for j in range(10)
                 ])
 
+    def _accumulate_batch(self, batch: ReadBatch) -> None:
+        """All mapq>0 reads into the dense/insert accumulators — native C
+        walk (io/_native/pileup.cpp polish_summary_walk, default) or the
+        Python golden loop (PEPPER_PY_POLISH_SUMMARY=1); fuzz-equal
+        (tests/test_polish.py)."""
+        import os
+
+        self._ensure_dense()
+        if (os.environ.get("PEPPER_PY_POLISH_SUMMARY") == "1"
+                or not _native_summary_walk(self, batch)):
+            for r in range(batch.n_reads):
+                if batch.mapq[r] > 0:
+                    self._iterate_over_read(batch, r, self.ref_end)
+
     def generate_summary(self, batch: ReadBatch) -> None:
         """Inference-mode summary (generate_summary, :361-387)."""
-        self._ensure_dense()
-        for r in range(batch.n_reads):
-            if batch.mapq[r] > 0:
-                self._iterate_over_read(batch, r, self.ref_end)
+        self._accumulate_batch(batch)
         for pos in range(self.ref_start, self.ref_end + 1):
             self.genomic_pos.append((pos, 0))
             for ii in range(self.longest_insert_count.get(pos, 0)):
@@ -253,10 +335,7 @@ class PolishSummary:
                                truth_index: int) -> None:
         """Train-mode summary with labels from one realigned truth read
         (generate_train_summary, :293-358)."""
-        self._ensure_dense()
-        for r in range(batch.n_reads):
-            if batch.mapq[r] > 0:
-                self._iterate_over_read(batch, r, self.ref_end)
+        self._accumulate_batch(batch)
         self._generate_labels(truth_batch, truth_index, self.ref_end + 1)
 
         def valid_label(base: str) -> bool:

@@ -104,10 +104,12 @@ def test_striped_engine_matches_scalar_fuzz():
 
     lib = get_lib()
     _configure(lib)
-    lib.pepper_align_scalar.restype = ctypes.c_void_p
-    lib.pepper_align_scalar.argtypes = [
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int]
+    for name in ("pepper_align_scalar", "pepper_align_narrow"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_void_p
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
 
     def run(fn, target, query, scoring):
         handle = fn(target.encode(), query.encode(), *scoring)
@@ -149,6 +151,10 @@ def test_striped_engine_matches_scalar_fuzz():
         striped = run(lib.pepper_align, target, query, scoring)
         scalar = run(lib.pepper_align_scalar, target, query, scoring)
         assert striped == scalar, (trial, scoring, target, query)
+        # 8-lane width through the same template (auto-dispatch runs the
+        # 16-lane build on AVX2 hosts, so fuzz the narrow engine directly)
+        narrow = run(lib.pepper_align_narrow, target, query, scoring)
+        assert narrow == scalar, (trial, scoring, target, query)
 
 
 def test_striped_engine_long_reads():

@@ -215,6 +215,96 @@ def test_polish_tbptt_training(polish_sim, tmp_path):
     assert np.asarray(confusion).sum() == images.shape[0] * 1000
 
 
+def test_native_summary_walk_matches_python_fuzz():
+    """The C polish summary walk (pileup.cpp polish_summary_walk) must
+    reproduce the Python golden loop exactly: dense base/coverage arrays,
+    insert summaries, longest-insert counts and the rendered image —
+    over random CIGARs (all op types), strands, mapq-0 reads, lowercase/N
+    bases and reads straddling the region bounds."""
+    from pepper_tpu.io.bam import ReadBatch
+    from pepper_tpu.polish.summary import _native_summary_walk
+
+    rng = np.random.RandomState(17)
+    ops_pool = [0, 1, 2, 3, 4, 5, 6, 7, 8]  # M I D N S H P = X
+
+    def random_batch(n_reads, region_len):
+        pos, pos_end, mapqs, flags = [], [], [], []
+        seq_offsets, cigar_offsets = [0], [0]
+        seqs, all_ops, all_lens = [], [], []
+        alphabet = np.frombuffer(b"ACGTNacgtn", np.uint8)
+        for _ in range(n_reads):
+            start = int(rng.randint(-30, region_len + 30))
+            n_ops = int(rng.randint(1, 12))
+            read_ops, read_lens = [], []
+            seq_len = 0
+            ref_span = 0
+            for _ in range(n_ops):
+                op = ops_pool[rng.randint(len(ops_pool))]
+                length = int(rng.randint(1, 12))
+                read_ops.append(op)
+                read_lens.append(length)
+                if op in (0, 7, 8):
+                    seq_len += length
+                    ref_span += length
+                elif op in (1, 4):
+                    seq_len += length
+                elif op in (2, 3, 6):
+                    ref_span += length
+            seq = alphabet[rng.randint(0, len(alphabet), seq_len)]
+            pos.append(start)
+            pos_end.append(start + ref_span)
+            mapqs.append(int(rng.randint(0, 3)) * 20)  # some mapq 0
+            flags.append(0x10 if rng.rand() < 0.5 else 0)
+            seqs.append(seq)
+            seq_offsets.append(seq_offsets[-1] + seq_len)
+            all_ops.extend(read_ops)
+            all_lens.extend(read_lens)
+            cigar_offsets.append(cigar_offsets[-1] + len(read_ops))
+        return ReadBatch(
+            pos=np.asarray(pos, np.int64),
+            pos_end=np.asarray(pos_end, np.int64),
+            mapq=np.asarray(mapqs, np.int32),
+            flag=np.asarray(flags, np.int32),
+            hp=np.zeros(n_reads, np.int32),
+            seq_offsets=np.asarray(seq_offsets, np.int64),
+            seq=(np.concatenate(seqs) if seqs
+                 else np.zeros(0, np.uint8)),
+            qual=np.zeros(int(seq_offsets[-1]), np.uint8),
+            cigar_offsets=np.asarray(cigar_offsets, np.int64),
+            cigar_ops=np.asarray(all_ops, np.uint8),
+            cigar_lens=np.asarray(all_lens, np.int32),
+            names=[f"r{k}" for k in range(n_reads)])
+
+    for trial in range(60):
+        region_len = int(rng.randint(5, 120))
+        batch = random_batch(int(rng.randint(0, 25)), region_len)
+        ref = "".join("ACGT"[b] for b in rng.randint(0, 4, region_len + 1))
+
+        native = PolishSummary(ref, "c", 100, 100 + region_len)
+        assert _native_summary_walk(native, batch), "native walk missing"
+
+        python = PolishSummary(ref, "c", 100, 100 + region_len)
+        python._ensure_dense()
+        for r in range(batch.n_reads):
+            if batch.mapq[r] > 0:
+                python._iterate_over_read(batch, r, python.ref_end)
+
+        np.testing.assert_array_equal(native._base_dense,
+                                      python._base_dense, err_msg=str(trial))
+        np.testing.assert_array_equal(native._cov_dense,
+                                      python._cov_dense, err_msg=str(trial))
+        assert dict(native.insert_summaries) == dict(
+            python.insert_summaries), trial
+        assert ({k: v for k, v in native.longest_insert_count.items() if v}
+                == {k: v for k, v in python.longest_insert_count.items()
+                    if v}), trial
+        native._generate_image()
+        python._generate_image()
+        np.testing.assert_array_equal(np.asarray(native.image),
+                                      np.asarray(python.image),
+                                      err_msg=str(trial))
+
+
 def test_consensus_predict_mesh_matches_single_device():
     """Batch-sharded consensus over the 8-device mesh must match the
     single-device run exactly (per-sequence hidden carry -> batch DP is
