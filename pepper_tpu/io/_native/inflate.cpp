@@ -10,6 +10,7 @@
 #include "inflate.h"
 
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -30,12 +31,15 @@ constexpr int kClTB = 7;     // code-length table bits (max code len is 7)
 //   bits 8..9   kind: 0=literal, 1=base+extra (length or distance),
 //               2=end-of-block, 3=subtable pointer
 //   bits 10..14 extra-bit count (kind 1) / subtable bits (kind 3)
-//   bits 16..31 payload: literal byte / base value / subtable offset
+//   bit  15     two-literal flag (litlen root only): consume covers BOTH
+//               codes, payload low byte = first literal, high = second
+//   bits 16..31 payload: literal byte(s) / base value / subtable offset
 // entry == 0 means invalid code.
 constexpr uint32_t kKindMask = 0x300u;
 constexpr uint32_t kKindLen = 0x100u;
 constexpr uint32_t kKindEob = 0x200u;
 constexpr uint32_t kKindSub = 0x300u;
+constexpr uint32_t kTwoLits = 0x8000u;
 
 inline uint32_t make_entry(uint32_t consume, uint32_t kind, uint32_t extra,
                            uint32_t payload) {
@@ -183,6 +187,29 @@ bool build_table(const uint8_t* lens, int n, int tablebits, TableType type,
       for (uint32_t slot = hi; slot < (1u << sb);
            slot += 1u << (len - tablebits))
         t->sub[base + slot] = entry;
+    }
+  }
+
+  // Pass 4 (litlen root only): pack TWO literals into one entry wherever
+  // the root slot's first code is a literal and the following code is a
+  // literal short enough to also fit in the root window — the libdeflate
+  // multi-literal trick that roughly doubles per-lookup throughput on
+  // literal-heavy (quality-score-dense) streams.
+  if (type == LITLEN) {
+    static thread_local std::vector<uint32_t> orig;
+    orig.assign(t->main, t->main + (size_t(1) << tablebits));
+    for (uint32_t slot = 0; slot <= main_mask; slot++) {
+      const uint32_t e1 = orig[slot];
+      if (e1 == 0 || (e1 & kKindMask) != 0) continue;
+      const uint32_t len1 = e1 & 0xffu;
+      if (len1 == 0 || static_cast<int>(len1) >= tablebits) continue;
+      const uint32_t e2 = orig[slot >> len1];  // zero-extended high bits
+      if (e2 == 0 || (e2 & kKindMask) != 0) continue;
+      const uint32_t len2 = e2 & 0xffu;
+      if (len2 == 0 || len1 + len2 > static_cast<uint32_t>(tablebits))
+        continue;
+      t->main[slot] = (len1 + len2) | kTwoLits |
+                      ((e1 >> 16) << 16) | ((e2 >> 16) << 24);
     }
   }
   return true;
@@ -365,9 +392,11 @@ int pepper_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
     const uint32_t dist_mask = (1u << kDistTB) - 1;
     bool eob = false;
 
-    // Fast region: room for 3 literals or one 258-byte match plus 8-byte
+    // Fast region: room for 6 literals or one 258-byte match plus 8-byte
     // copy overshoot, and >= 8 input bytes so every refill is the fast
-    // 8-byte load.
+    // 8-byte load.  Three straight-line table lookups per refill (<= 15
+    // bits each), each emitting 1 or 2 literals via the packed
+    // two-literal entries.
     while (PI_LIKELY(out_limit - out > 270 && br.end - br.p >= 8)) {
       br.refill();
       uint32_t e = lt->main[br.bb & lit_mask];
@@ -378,8 +407,10 @@ int pepper_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
       if (PI_UNLIKELY(e == 0)) return -15;
       br.bits(e & 0xff);
       if (PI_LIKELY((e & kKindMask) == 0)) {
-        *out++ = static_cast<uint8_t>(e >> 16);
-        // second literal without refill (>= 41 bits buffered)
+        out[0] = static_cast<uint8_t>(e >> 16);
+        out[1] = static_cast<uint8_t>(e >> 24);  // stray 0 if single; slack
+        out += 1 + ((e >> 15) & 1u);
+        // second lookup without refill (>= 41 bits buffered)
         e = lt->main[br.bb & lit_mask];
         if (PI_UNLIKELY((e & kKindMask) == kKindSub)) {
           br.bits(kLitTB);
@@ -389,8 +420,10 @@ int pepper_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
         if (PI_UNLIKELY(e == 0)) return -15;
         br.bits(e & 0xff);
         if (PI_LIKELY((e & kKindMask) == 0)) {
-          *out++ = static_cast<uint8_t>(e >> 16);
-          // third literal (>= 26 bits buffered)
+          out[0] = static_cast<uint8_t>(e >> 16);
+          out[1] = static_cast<uint8_t>(e >> 24);
+          out += 1 + ((e >> 15) & 1u);
+          // third lookup (>= 26 bits buffered)
           e = lt->main[br.bb & lit_mask];
           if (PI_UNLIKELY((e & kKindMask) == kKindSub)) {
             br.bits(kLitTB);
@@ -400,7 +433,9 @@ int pepper_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
           if (PI_UNLIKELY(e == 0)) return -15;
           br.bits(e & 0xff);
           if (PI_LIKELY((e & kKindMask) == 0)) {
-            *out++ = static_cast<uint8_t>(e >> 16);
+            out[0] = static_cast<uint8_t>(e >> 16);
+            out[1] = static_cast<uint8_t>(e >> 24);
+            out += 1 + ((e >> 15) & 1u);
             continue;
           }
         }
@@ -459,9 +494,13 @@ int pepper_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
       if (PI_UNLIKELY(e == 0)) return -15;
       br.bits(e & 0xff);
       const uint32_t kind = e & kKindMask;
-      if (PI_LIKELY(kind == 0)) {  // literal
+      if (PI_LIKELY(kind == 0)) {  // literal (possibly a packed pair)
         if (PI_UNLIKELY(out >= out_limit)) return -16;
         *out++ = static_cast<uint8_t>(e >> 16);
+        if (e & kTwoLits) {
+          if (PI_UNLIKELY(out >= out_limit)) return -16;
+          *out++ = static_cast<uint8_t>(e >> 24);
+        }
         continue;
       }
       if (PI_UNLIKELY(kind == kKindEob)) break;
