@@ -51,10 +51,14 @@ def worker():
         truth_vcf=os.path.join(base, "test", "truth.vcf"),
         region_bed=os.path.join(base, "test", "conf.bed"),
         random_draw_probability=1.0, region="chrA"))
+    import resource
+
     start = time.perf_counter()
     call_variant_sharded(options)
     wall = time.perf_counter() - start
-    print(f"BENCH_WORKER {process_id} WALL {wall:.3f}")
+    usage = resource.getrusage(resource.RUSAGE_SELF)
+    cpu = usage.ru_utime + usage.ru_stime
+    print(f"BENCH_WORKER {process_id} WALL {wall:.3f} CPU {cpu:.3f}")
 
 
 def count_windows(prediction_dir):
@@ -101,7 +105,7 @@ def main():
              f"out_{run_id}_{n_hosts}"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
             for rank in range(n_hosts)]
-        walls = []
+        walls, cpus = [], []
         for proc in procs:
             out, _ = proc.communicate(timeout=3600)
             text = out.decode()
@@ -109,26 +113,37 @@ def main():
                 raise RuntimeError(text[-3000:])
             for line in text.splitlines():
                 if line.startswith("BENCH_WORKER"):
-                    walls.append(float(line.split()[-1]))
+                    parts = line.split()
+                    walls.append(float(parts[3]))
+                    cpus.append(float(parts[5]))
         wall = max(walls)
+        total_cpu = sum(cpus)
         windows = count_windows(os.path.join(
             base, f"out_{run_id}_{n_hosts}", "predictions"))
         rate = windows / wall
-        rows.append((n_hosts, windows, wall, rate))
+        rows.append((n_hosts, windows, wall, rate, total_cpu))
         log_line(f"HOSTS={n_hosts}: {windows} windows, wall {wall:.1f}s, "
-                 f"{rate:,.0f} windows/s aggregate")
+                 f"{rate:,.0f} windows/s aggregate; total worker CPU "
+                 f"{total_cpu:.1f}s -> {windows / total_cpu:,.0f} "
+                 "windows per CPU-second")
 
     # best-of-repeats per host count (2-core VM timing is noisy)
     best = {}
-    for h, w, t, r in rows:
+    for h, w, t, r, c in rows:
         if h not in best or r > best[h][3]:
-            best[h] = (h, w, t, r)
+            best[h] = (h, w, t, r, c)
     rows = [best[h] for h in sorted(best)]
     base_rate = rows[0][3]
+    # the scaling MODEL: per-window CPU cost should be flat in host count
+    # (deterministic interval claims add no coordination) — on an N-core
+    # fleet the aggregate is then N x windows-per-cpu-second even when
+    # this box's wall-clock saturates at its 2 cores
     summary = [dict(hosts=h, windows=w, wall_s=round(t, 2),
                     windows_per_s=round(r, 1),
-                    speedup=round(r / base_rate, 2))
-               for h, w, t, r in rows]
+                    speedup=round(r / base_rate, 2),
+                    worker_cpu_s=round(c, 2),
+                    windows_per_cpu_s=round(w / c, 1))
+               for h, w, t, r, c in rows]
     print(json.dumps(summary))
 
 

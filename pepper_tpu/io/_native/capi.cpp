@@ -116,6 +116,65 @@ void* pepper_align_narrow(const char* target, const char* query,
       target, query, match_score, mismatch_penalty, gap_open, gap_ext));
 }
 
+// Batched realignment (polish realign_reads hot loop without per-read
+// ctypes/string round-trips): aligns every read against one target and
+// emits BAM-coded CIGAR arrays directly.  out_pos[i] = ref_begin (or -1
+// when best_score <= 0 — caller keeps the original alignment);
+// out_ref_span[i] = reference bases consumed (M/=/X/D).  Returns the
+// total op count, or -1 if ops_cap would be exceeded.
+long long pepper_align_batch(
+    const char* target, long long target_len, const long long* seq_offsets,
+    const unsigned char* seq, long long n_reads, int match_score,
+    int mismatch_penalty, int gap_open, int gap_ext, long long* out_pos,
+    long long* out_ref_span, unsigned char* out_ops, int* out_lens,
+    long long* out_cigar_offsets, long long ops_cap) {
+  const std::string target_str(target, static_cast<size_t>(target_len));
+  long long n_ops = 0;
+  out_cigar_offsets[0] = 0;
+  for (long long r = 0; r < n_reads; ++r) {
+    const long long s = seq_offsets[r], e = seq_offsets[r + 1];
+    const std::string query(reinterpret_cast<const char*>(seq + s),
+                            static_cast<size_t>(e - s));
+    AlignmentResult res = smith_waterman(target_str, query, match_score,
+                                         mismatch_penalty, gap_open,
+                                         gap_ext);
+    if (res.best_score <= 0) {
+      out_pos[r] = -1;
+      out_ref_span[r] = 0;
+      out_cigar_offsets[r + 1] = n_ops;
+      continue;
+    }
+    out_pos[r] = res.ref_begin;
+    long long ref_span = 0;
+    long long value = 0;
+    for (const char ch : res.cigar) {
+      if (ch >= '0' && ch <= '9') {
+        value = value * 10 + (ch - '0');
+        continue;
+      }
+      int op;
+      switch (ch) {  // polish/realign.py _CIGAR_OP_CODE
+        case 'M': op = 0; break;
+        case 'I': op = 1; break;
+        case 'D': op = 2; break;
+        case 'S': op = 4; break;
+        case '=': op = 7; break;
+        case 'X': op = 8; break;
+        default: op = 0; break;
+      }
+      if (op == 0 || op == 2 || op == 7 || op == 8) ref_span += value;
+      if (n_ops >= ops_cap) return -1;
+      out_ops[n_ops] = static_cast<unsigned char>(op);
+      out_lens[n_ops] = static_cast<int>(value);
+      ++n_ops;
+      value = 0;
+    }
+    out_ref_span[r] = ref_span;
+    out_cigar_offsets[r + 1] = n_ops;
+  }
+  return n_ops;
+}
+
 void pepper_align_free(void* a) { delete static_cast<AlignmentResult*>(a); }
 
 int pepper_align_score(void* a) {

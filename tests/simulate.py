@@ -119,7 +119,40 @@ ONT_ERROR_DEFAULTS = dict(
     qual_error_mean=7.0,     # mean qual of erroneous bases
     qual_error_sd=2.5,
     qual_hp_penalty=4.0,     # quals drop inside homopolymer runs >= 4
+    str_alpha=0.0,           # di/tri tandem-repeat indel scaling (off in
+    str_cap=30.0,            # the plain "ont" model; see ONT_STR_PARAMS)
 )
+
+# The "ont_str" model: real ONT error also concentrates in di/tri-nt short
+# tandem repeats (the context behind the reference's hardest documented
+# failure mode, INDEL F1 0.77 at 30x —
+# docs/performance_evaluation/Oxford_nanopore_r9_whole_genome.md:40-43):
+# indel rates scale with the repeat COPY count the same way homopolymer
+# rates scale with run length.
+ONT_STR_PARAMS = dict(ONT_ERROR_DEFAULTS, str_alpha=0.45)
+
+
+def _read_tandem_copies(codes: np.ndarray) -> np.ndarray:
+    """Per-base tandem-repeat copy count for unit sizes 2 and 3 (max over
+    units; 1.0 outside repeats).  A run of L consecutive positions with
+    codes[i] == codes[i-u] spans L+u bases of a repeat with (L+u)/u
+    copies; only runs with >= 2 full copies (L >= u) count."""
+    n = len(codes)
+    copies = np.ones(n, np.float64)
+    for unit in (2, 3):
+        if n <= 2 * unit:
+            continue
+        eq = codes[unit:] == codes[:-unit]
+        edges = np.flatnonzero(np.diff(
+            np.concatenate(([False], eq, [False])).astype(np.int8)))
+        starts, ends = edges[::2], edges[1::2]
+        for s, e in zip(starts, ends):
+            length = e - s
+            if length < unit:
+                continue  # under 2 full copies
+            span_copies = (length + unit) / unit
+            copies[s:e + unit] = np.maximum(copies[s:e + unit], span_copies)
+    return copies
 
 
 def _read_run_lengths(codes: np.ndarray) -> np.ndarray:
@@ -149,6 +182,15 @@ def apply_ont_errors(seq, cigar_parts, rng, reverse_strand,
     hp_factor = np.minimum(
         1.0 + params["hp_alpha"] * np.maximum(run_len - 1, 0) ** 1.5,
         params["hp_cap"])
+    if params.get("str_alpha", 0.0) > 0.0:
+        tandem_copies = _read_tandem_copies(codes)
+        str_factor = np.minimum(
+            1.0 + params["str_alpha"] *
+            np.maximum(tandem_copies - 1, 0) ** 1.5,
+            params.get("str_cap", 30.0))
+        # max, not product: a homopolymer is the unit-1 repeat — don't
+        # double-count the same context
+        hp_factor = np.maximum(hp_factor, str_factor)
 
     strand_sub = params["strand_sub_factor"] if reverse_strand else 1.0
     strand_indel = params["strand_indel_factor"] if reverse_strand else 1.0
@@ -253,13 +295,16 @@ def _parse_cigar(cigar: str):
 def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
                    qual=30, name_prefix="sim", strides=None,
                    error_rate=0.0, error_seed=1234, error_model="uniform",
-                   ont_params=ONT_ERROR_DEFAULTS):
+                   ont_params=ONT_ERROR_DEFAULTS, dropout_regions=None):
     """Tile reads across the genome alternating haplotypes/strands.
     strides: optional per-haplotype stride list (coverage weighting).
     error_model="uniform": per-base substitutions at error_rate with low
     quality (7) at the erroneous bases.  error_model="ont": the
     homopolymer-scaled, strand-biased substitution+indel process with
-    correlated qualities (see apply_ont_errors); error_rate is ignored."""
+    correlated qualities (see apply_ont_errors); error_rate is ignored.
+    dropout_regions: optional [(start, end, keep_prob)] coverage-dropout
+    windows — reads STARTING inside a window survive only with keep_prob
+    (models mappability/coverage holes in real data)."""
     records = []
     count = 0
     error_rng = np.random.RandomState(error_seed)
@@ -268,6 +313,15 @@ def simulate_reads(ref: str, haplotypes, read_len=300, stride=50, mapq=60,
         seg_positions = [s[0] for s in segments]
         hap_stride = strides[hap_index] if strides else stride
         for start in range(0, len(ref) - read_len + 1, hap_stride):
+            if dropout_regions:
+                dropped = False
+                for lo, hi, keep_prob in dropout_regions:
+                    if lo <= start < hi:
+                        dropped = error_rng.rand() >= keep_prob
+                        break
+                if dropped:
+                    count += 1  # keep strand/hap phase deterministic
+                    continue
             seq, cigar = read_from_haplotype(ref, segments, start, read_len,
                                              seg_positions)
             flag = 0x10 if count % 2 else 0
@@ -347,8 +401,41 @@ def reference_with_homopolymers(length, seed, run_every=1500,
     return "".join(ref), runs
 
 
+def reference_with_repeats(length, seed, run_every=1500, run_lens=(5, 10),
+                           str_every=1500, str_units=(2, 3),
+                           str_copies=(4, 8)):
+    """Homopolymer-planted reference plus interleaved di/tri-nucleotide
+    short tandem repeats (the other hard-indel context).  Returns
+    (ref, hp_runs, str_runs) with str_runs = [(start, unit_len, copies)]."""
+    ref, hp_runs = reference_with_homopolymers(length, seed,
+                                               run_every=run_every,
+                                               run_lens=run_lens)
+    rng = np.random.RandomState(seed + 23)
+    ref = list(ref)
+    str_runs = []
+    step = max(str_every, 300)
+    for start in range(700 + step // 2, length - 700, step):
+        jitter = int(rng.randint(0, max(1, step // 3)))
+        s = start + jitter
+        unit_len = int(str_units[rng.randint(len(str_units))])
+        copies = int(rng.randint(str_copies[0], str_copies[1] + 1))
+        span = unit_len * copies
+        if s + span >= length - 700:
+            continue
+        if any(hs - 40 <= s <= hs + hl + 40 for hs, hl, _ in hp_runs):
+            continue
+        unit = "".join("ACGT"[k] for k in rng.randint(0, 4, unit_len))
+        if len(set(unit)) == 1:  # degenerate unit would be a homopolymer
+            other = "ACGT"[("ACGT".index(unit[0]) + 1) % 4]
+            unit = unit[:-1] + other
+        ref[s:s + span] = unit * copies
+        str_runs.append((s, unit_len, copies))
+    return "".join(ref), hp_runs, str_runs
+
+
 def make_mixed_variants(ref, hp_runs, n_variants, n_noise, seed,
-                        min_pos=500, spacing=40, max_indel=10):
+                        min_pos=500, spacing=40, max_indel=10,
+                        str_runs=()):
     """Truth variants (pos, ref_allele, alt_allele, gt) + noise triples.
 
     Composition: ~50% SNP / 25% INS / 25% DEL with indel lengths 1..10,
@@ -374,6 +461,22 @@ def make_mixed_variants(ref, hp_runs, n_variants, n_noise, seed,
         else:                              # deletion into the run
             del_len = int(rng.randint(1, min(max_indel, run_len)))
             variants.append((p, ref[p:p + del_len + 1], ref[p], gt))
+    # STR-anchored repeat-unit indels (the classic hard case: +/- one full
+    # copy of the repeat unit, anchored just before the run)
+    for i, (s, unit_len, copies) in enumerate(str_runs):
+        if s - 1 < min_pos or s + unit_len * copies > length - min_pos:
+            continue
+        blocked[max(0, s - 2 * spacing):
+                s + unit_len * copies + 2 * spacing] = True
+        if i % 2:
+            continue                       # leave half the STRs variant-free
+        p = s - 1
+        gt = "1|1" if len(variants) % 3 == 0 else "1|0"
+        unit = ref[s:s + unit_len]
+        if i % 4 == 0:                     # insert one extra unit copy
+            variants.append((p, ref[p], ref[p] + unit, gt))
+        else:                              # delete the first unit copy
+            variants.append((p, ref[p:p + unit_len + 1], ref[p], gt))
     n_hp = len(variants)
 
     grid = [int(p) for p in np.arange(min_pos, length - min_pos, spacing)
@@ -422,22 +525,44 @@ def build_mixed_genome(base, name, length, n_variants, n_noise, seed,
     """Simulated genome directory (BAM/FASTA/truth VCF/BED) with mixed
     SNP/INS/DEL truth incl. homopolymer-adjacent indels and a low-coverage
     systematic-noise read population, plus sequencing errors
-    (error_model="uniform" substitutions or "ont" — see
-    apply_ont_errors)."""
+    (error_model="uniform" substitutions, "ont" — see apply_ont_errors —
+    or "ont_str": the ONT process extended with di/tri-nt tandem repeats
+    carrying repeat-unit truth indels, copy-count-scaled STR errors and
+    random coverage-dropout windows)."""
     import os
 
     from pepper_tpu.io.bam_writer import write_bam, write_fasta
 
-    ref, hp_runs = reference_with_homopolymers(length, seed,
-                                               run_every=run_every)
+    str_runs = ()
+    dropout_regions = None
+    read_error_model = error_model
+    ont_params = ONT_ERROR_DEFAULTS
+    if error_model == "ont_str":
+        ref, hp_runs, str_runs = reference_with_repeats(
+            length, seed, run_every=run_every, str_every=run_every)
+        read_error_model = "ont"
+        ont_params = ONT_STR_PARAMS
+        # a ~2 kb low-coverage hole every ~1.5 Mb (keep 25% of reads)
+        drop_rng = np.random.RandomState(seed + 41)
+        dropout_regions = []
+        for center in range(750_000, max(0, length - 5_000), 1_500_000):
+            start = center + int(drop_rng.randint(0, 200_000))
+            width = int(drop_rng.randint(1_000, 3_000))
+            if start + width < length:
+                dropout_regions.append((start, start + width, 0.25))
+    else:
+        ref, hp_runs = reference_with_homopolymers(length, seed,
+                                                   run_every=run_every)
     variants, noise = make_mixed_variants(ref, hp_runs, n_variants, n_noise,
-                                          seed)
+                                          seed, str_runs=str_runs)
     hap1 = [(p, r, a) for p, r, a, g in variants]
     hap2 = [(p, r, a) for p, r, a, g in variants if g == "1|1"]
     records = simulate_reads(ref, [hap1, hap2, noise], read_len=read_len,
                              strides=list(strides), name_prefix=name,
                              error_rate=error_rate, error_seed=seed,
-                             error_model=error_model)
+                             error_model=read_error_model,
+                             ont_params=ont_params,
+                             dropout_regions=dropout_regions)
     directory = os.path.join(base, name)
     os.makedirs(directory, exist_ok=True)
     bam = os.path.join(directory, "reads.bam")

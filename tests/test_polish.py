@@ -376,3 +376,73 @@ def test_polish_sharded_resume(polish_sim, tmp_path):
     with open(fasta_path2) as f:
         lines2 = f.read().strip().split("\n")
     assert lines2 == lines
+
+
+def test_batched_realign_matches_python_engine():
+    """pepper_align_batch (default) and the per-read Python loop must
+    produce identical ReadBatches — incl. unalignable reads that keep
+    their original alignment."""
+    import os
+
+    from pepper_tpu.io.bam import ReadBatch
+    from pepper_tpu.polish.realign import _realign_reads_py, realign_reads
+
+    rng = np.random.RandomState(23)
+    ref = "".join("ACGT"[i] for i in rng.randint(0, 4, 1200))
+
+    def make_batch(n_reads):
+        pos, pos_end, seqs = [], [], []
+        seq_offsets, cigar_offsets = [0], [0]
+        all_ops, all_lens = [], []
+        for r in range(n_reads):
+            if r % 7 == 3:
+                # unalignable: bases absent from any window of the target
+                seq = "N" * int(rng.randint(20, 60))
+                start = int(rng.randint(0, 1000))
+            else:
+                start = int(rng.randint(0, 900))
+                length = int(rng.randint(50, 280))
+                s = list(ref[start:start + length])
+                for _ in range(rng.randint(0, 12)):
+                    k = rng.randint(0, len(s))
+                    op = rng.randint(3)
+                    if op == 0:
+                        s[k] = "ACGT"[rng.randint(4)]
+                    elif op == 1:
+                        s.insert(k, "ACGT"[rng.randint(4)])
+                    elif len(s) > 1:
+                        s.pop(k)
+                seq = "".join(s)
+            pos.append(start)
+            pos_end.append(start + len(seq))
+            seqs.append(np.frombuffer(seq.encode(), np.uint8))
+            seq_offsets.append(seq_offsets[-1] + len(seq))
+            all_ops.append(0)
+            all_lens.append(len(seq))
+            cigar_offsets.append(cigar_offsets[-1] + 1)
+        return ReadBatch(
+            pos=np.asarray(pos, np.int64),
+            pos_end=np.asarray(pos_end, np.int64),
+            mapq=np.full(n_reads, 60, np.int32),
+            flag=np.zeros(n_reads, np.int32),
+            hp=np.zeros(n_reads, np.int32),
+            seq_offsets=np.asarray(seq_offsets, np.int64),
+            seq=(np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)),
+            qual=np.full(int(seq_offsets[-1]), 30, np.uint8),
+            cigar_offsets=np.asarray(cigar_offsets, np.int64),
+            cigar_ops=np.asarray(all_ops, np.uint8),
+            cigar_lens=np.asarray(all_lens, np.int32),
+            names=[f"q{k}" for k in range(n_reads)])
+
+    for trial in range(8):
+        batch = make_batch(int(rng.randint(1, 40)))
+        native = realign_reads(batch, ref, 100, 100 + len(ref))
+        assert os.environ.get("PEPPER_PY_REALIGN") != "1"
+        python = _realign_reads_py(batch, ref, 100, 100 + len(ref))
+        for attr in ("pos", "pos_end", "mapq", "flag", "hp", "seq_offsets",
+                     "seq", "qual", "cigar_offsets", "cigar_ops",
+                     "cigar_lens"):
+            np.testing.assert_array_equal(
+                getattr(native, attr), getattr(python, attr),
+                err_msg=f"{trial}:{attr}")
+        assert native.names == python.names

@@ -120,3 +120,79 @@ def test_uniform_model_unchanged():
                        error_rate=0.03, error_seed=42)
     assert [r.seq for r in a] == [r.seq for r in b]
     assert all("D" not in r.cigar and "I" not in r.cigar for r in a)
+
+
+def test_str_indels_concentrate_in_tandem_repeats():
+    """Under ONT_STR_PARAMS, indel errors concentrate in di/tri-nt tandem
+    repeats (copy-count-scaled), the reference's hardest documented
+    failure context (Oxford_nanopore_r9_whole_genome.md:40-43)."""
+    from simulate import ONT_STR_PARAMS, reference_with_repeats
+
+    ref, hp_runs, str_runs = reference_with_repeats(150_000, seed=5,
+                                                    run_every=1200,
+                                                    str_every=1200)
+    assert len(str_runs) > 40
+    records = simulate_reads(ref, [[], []], read_len=1500, stride=300,
+                             error_model="ont", ont_params=ONT_STR_PARAMS)
+
+    in_str = np.zeros(len(ref), bool)
+    for s, unit_len, copies in str_runs:
+        in_str[s:s + unit_len * copies] = True
+    in_hp = np.zeros(len(ref), bool)
+    for s, run_len, _ in hp_runs:
+        in_hp[s:s + run_len] = True
+
+    indels_str = indels_out = 0
+    bases_str = bases_out = 0
+    for r in records:
+        genome_pos = r.pos
+        for op, length in _parse_cigar(r.cigar):
+            if op in ("M", "D"):
+                for k in range(length):
+                    p = genome_pos + k
+                    if in_hp[p]:
+                        continue  # exclude HP context from both sides
+                    if in_str[p]:
+                        bases_str += 1
+                        indels_str += (op == "D")
+                    else:
+                        bases_out += 1
+                        indels_out += (op == "D")
+                genome_pos += length
+    rate_str = indels_str / max(1, bases_str)
+    rate_out = indels_out / max(1, bases_out)
+    assert rate_str > 3.0 * rate_out, (rate_str, rate_out)
+
+
+def test_coverage_dropout_regions():
+    """Reads starting inside a dropout window survive with keep_prob."""
+    ref, _ = reference_with_homopolymers(60_000, seed=9, run_every=2000)
+    dropout = [(20_000, 24_000, 0.25)]
+    records = simulate_reads(ref, [[], []], read_len=1000, stride=100,
+                             dropout_regions=dropout)
+    in_window = [r for r in records if 20_000 <= r.pos < 24_000]
+    outside = [r for r in records if 30_000 <= r.pos < 34_000]
+    # ~25% survive in the window vs full tiling outside
+    assert len(in_window) < 0.5 * len(outside)
+    assert len(in_window) > 0
+
+
+def test_ont_str_genome_builder(tmp_path):
+    """build_mixed_genome(error_model='ont_str') plants STRs with
+    repeat-unit truth indels and produces a consistent BAM."""
+    from simulate import build_mixed_genome
+
+    res = build_mixed_genome(str(tmp_path), "g", 120_000, 150, 60, seed=3,
+                             error_model="ont_str")
+    # truth contains indels whose alt/ref delta is a tandem unit
+    kinds = {"SNP": 0, "INS": 0, "DEL": 0}
+    for p, ref_allele, alt_allele, gt in res["variants"]:
+        if len(ref_allele) == len(alt_allele):
+            kinds["SNP"] += 1
+        elif len(alt_allele) > len(ref_allele):
+            kinds["INS"] += 1
+        else:
+            kinds["DEL"] += 1
+    assert all(v > 0 for v in kinds.values()), kinds
+    import os
+    assert os.path.exists(res["bam"]) and os.path.exists(res["fasta"])
