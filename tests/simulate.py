@@ -146,12 +146,18 @@ def _read_tandem_copies(codes: np.ndarray) -> np.ndarray:
         edges = np.flatnonzero(np.diff(
             np.concatenate(([False], eq, [False])).astype(np.int8)))
         starts, ends = edges[::2], edges[1::2]
-        for s, e in zip(starts, ends):
-            length = e - s
-            if length < unit:
-                continue  # under 2 full copies
-            span_copies = (length + unit) / unit
-            copies[s:e + unit] = np.maximum(copies[s:e + unit], span_copies)
+        lengths = ends - starts
+        keep = lengths >= unit  # at least 2 full copies
+        if not keep.any():
+            continue
+        starts, lengths = starts[keep], lengths[keep]
+        spans = lengths + unit
+        values = (lengths + unit) / unit
+        # fully vectorized max-assign over the (possibly overlapping) spans
+        total = int(spans.sum())
+        offsets = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        idx = (np.repeat(starts - offsets, spans) + np.arange(total))
+        np.maximum.at(copies, idx, np.repeat(values, spans))
     return copies
 
 
