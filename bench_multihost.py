@@ -53,11 +53,15 @@ def worker():
         random_draw_probability=1.0, region="chrA"))
     import resource
 
+    def cpu_now():
+        usage = resource.getrusage(resource.RUSAGE_SELF)
+        return usage.ru_utime + usage.ru_stime
+
+    cpu_start = cpu_now()  # exclude interpreter/jax startup from the model
     start = time.perf_counter()
     call_variant_sharded(options)
     wall = time.perf_counter() - start
-    usage = resource.getrusage(resource.RUSAGE_SELF)
-    cpu = usage.ru_utime + usage.ru_stime
+    cpu = cpu_now() - cpu_start
     print(f"BENCH_WORKER {process_id} WALL {wall:.3f} CPU {cpu:.3f}")
 
 
