@@ -27,7 +27,8 @@ import optax
 from ..models.checkpoint import save_params
 from ..models.polish_gru import init_polish_params, polish_forward
 from ..options import PolishImageOptions
-from ..parallel.mesh import get_mesh, pad_to_multiple, replicate, shard_batch
+from ..parallel.mesh import (get_mesh, host_batch_rows, make_global_batch,
+                             pad_to_multiple, replicate, shard_batch)
 from ..pipeline.regions import log_info
 from .consensus import SEQ_LENGTH, TRAIN_WINDOW, WINDOW_JUMP
 
@@ -232,8 +233,26 @@ def train_polish_model(options, image_dir: str, output_dir: str, *,
     if len(train_idx) == 0:
         train_idx = test_idx
 
+    # get_mesh() spans all processes' devices under jax.distributed —
+    # multi-host TBPTT training (the TPU equivalent of the reference's
+    # LIVE polish DDP loop, pepper/.../models/train_distributed.py:254-283):
+    # per-host chunk-batch slices, cross-host psum, rank-0 checkpoints
     mesh = get_mesh()
     n_devices = len(mesh.devices.ravel())
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+    if process_count > 1:
+        log_info(f"MULTI-HOST POLISH TRAINING: host {process_index}/"
+                 f"{process_count}, {n_devices} global devices")
+
+    def shard_chunks(imgs, lbls, mask):
+        if process_count > 1:
+            imgs = host_batch_rows(imgs, process_index, process_count)
+            lbls = host_batch_rows(lbls, process_index, process_count)
+            mask = host_batch_rows(mask, process_index, process_count)
+        return (make_global_batch(mesh, imgs), make_global_batch(mesh, lbls),
+                make_global_batch(mesh, mask))
+
     params = init_polish_params(jax.random.PRNGKey(seed))
     optimizer = optax.chain(optax.add_decayed_weights(weight_decay),
                             optax.adam(learning_rate))
@@ -252,6 +271,8 @@ def train_polish_model(options, image_dir: str, output_dir: str, *,
             lbls, _ = pad_to_multiple(labels[index], n_devices)
             mask = np.zeros(len(lbls), np.float32)
             mask[:n] = 1.0
+            imgs, lbls, mask = shard_chunks(imgs.astype(np.float32),
+                                            lbls.astype(np.int32), mask)
             loss, conf = eval_step(params, imgs, lbls, mask)
             total_loss += float(loss)
             confusion += np.asarray(conf)
@@ -267,9 +288,7 @@ def train_polish_model(options, image_dir: str, output_dir: str, *,
             lbls, _ = pad_to_multiple(labels[index], n_devices)
             mask = np.zeros(len(lbls), np.float32)
             mask[:n] = 1.0
-            imgs = shard_batch(mesh, imgs)
-            lbls = shard_batch(mesh, lbls)
-            mask = shard_batch(mesh, mask)
+            imgs, lbls, mask = shard_chunks(imgs, lbls, mask)
             params, opt_state, loss = tbptt_step(params, opt_state, imgs,
                                                  lbls, mask)
             epoch_loss += float(loss)
@@ -277,14 +296,17 @@ def train_polish_model(options, image_dir: str, output_dir: str, *,
         log_info(f"EPOCH {epoch + 1} TRAIN LOSS: {epoch_loss:.4f} "
                  f"TEST LOSS: {test_loss:.4f} ACCURACY: {accuracy:.2f}")
         host_params = jax.tree_util.tree_map(np.asarray, params)
-        save_params(os.path.join(
-            output_dir, f"polish_epoch_{epoch + 1}_checkpoint.npz"),
-            host_params, {"epochs": epoch + 1, "accuracy": float(accuracy),
-                          "hidden_size": PolishImageOptions.HIDDEN_SIZE,
-                          "gru_layers": 1})
-    final_path = os.path.join(output_dir, "polish_model_final.npz")
-    save_params(final_path, jax.tree_util.tree_map(np.asarray, params),
-                {"epochs": epochs,
+        if process_index == 0:
+            save_params(os.path.join(
+                output_dir, f"polish_epoch_{epoch + 1}_checkpoint.npz"),
+                host_params,
+                {"epochs": epoch + 1, "accuracy": float(accuracy),
                  "hidden_size": PolishImageOptions.HIDDEN_SIZE,
                  "gru_layers": 1})
+    final_path = os.path.join(output_dir, "polish_model_final.npz")
+    if process_index == 0:
+        save_params(final_path, jax.tree_util.tree_map(np.asarray, params),
+                    {"epochs": epochs,
+                     "hidden_size": PolishImageOptions.HIDDEN_SIZE,
+                     "gru_layers": 1})
     return final_path

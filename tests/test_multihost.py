@@ -49,7 +49,7 @@ def test_two_process_multihost_training_matches_single_process(tmp_path):
         [os.path.dirname(os.path.dirname(worker))]
         + os.environ.get("PYTHONPATH", "").split(os.pathsep))
 
-    def run(n_procs, devices_per_proc, out_name):
+    def run(n_procs, devices_per_proc, out_name, mode="variant"):
         out_dir = str(tmp_path / out_name)
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    XLA_FLAGS="--xla_force_host_platform_device_count="
@@ -59,7 +59,7 @@ def test_two_process_multihost_training_matches_single_process(tmp_path):
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, coordinator, str(n_procs),
-                 str(rank), image_dir, out_dir],
+                 str(rank), image_dir, out_dir, mode],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
             for rank in range(n_procs)
         ]
@@ -78,6 +78,69 @@ def test_two_process_multihost_training_matches_single_process(tmp_path):
     # rank 1 must not have written checkpoints (rank-0-only writes)
     assert not os.path.exists(os.path.join(dist_dir, "train_loss.csv")) \
         or os.path.getsize(os.path.join(dist_dir, "train_loss.csv")) > 0
+    keys = sorted(k for k in single.files if k != "__meta__")
+    assert keys == sorted(k for k in dist.files if k != "__meta__")
+    for key in keys:
+        np.testing.assert_allclose(dist[key], single[key], atol=2e-4,
+                                   err_msg=key)
+
+
+def test_two_process_multihost_polish_training_matches_single_process(
+        tmp_path):
+    """Same 2-process equality for the polish TBPTT trainer — the
+    reference's only LIVE DDP loop
+    (pepper/modules/python/models/train_distributed.py:254-283)."""
+    import h5py
+    import numpy as np
+
+    image_dir = str(tmp_path / "polish_images")
+    os.makedirs(image_dir)
+    rng = np.random.RandomState(11)
+    with h5py.File(os.path.join(image_dir, "train.hdf5"), "w") as f:
+        for k in range(8):
+            grp = f"summaries/s{k}"
+            f[f"{grp}/image"] = rng.randint(
+                0, 40, size=(1000, 10)).astype(np.uint8)
+            f[f"{grp}/label"] = rng.randint(0, 5, size=1000).astype(np.uint8)
+            f[f"{grp}/position"] = np.arange(1000, dtype=np.int64)
+            f[f"{grp}/index"] = np.zeros(1000, np.int64)
+            f[f"{grp}/contig"] = "c"
+            f[f"{grp}/region_start"] = 0
+            f[f"{grp}/region_end"] = 1000
+            f[f"{grp}/chunk_id"] = k
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_train_worker.py")
+    pythonpath = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(worker))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep))
+
+    def run(n_procs, devices_per_proc, out_name):
+        out_dir = str(tmp_path / out_name)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count="
+                             f"{devices_per_proc}",
+                   PYTHONPATH=pythonpath)
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, coordinator, str(n_procs),
+                 str(rank), image_dir, out_dir, "polish"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for rank in range(n_procs)
+        ]
+        for proc in procs:
+            out, _ = proc.communicate(timeout=240)
+            assert proc.returncode == 0, out.decode()[-3000:]
+        return out_dir
+
+    import numpy as np
+    single_dir = run(1, 2, "polish_single")
+    dist_dir = run(2, 1, "polish_dist")
+    single = np.load(os.path.join(single_dir, "polish_model_final.npz"),
+                     allow_pickle=True)
+    dist = np.load(os.path.join(dist_dir, "polish_model_final.npz"),
+                   allow_pickle=True)
     keys = sorted(k for k in single.files if k != "__meta__")
     assert keys == sorted(k for k in dist.files if k != "__meta__")
     for key in keys:
