@@ -585,14 +585,23 @@ class RegionalSummary:
                 np.minimum(type_h1, type_h2),
                 np.maximum(type_h1, type_h2)].astype(np.uint16)
 
-        def alleles_at(region_index):
+        if native is not None:
+            # one vectorized searchsorted pair for every gate-passing
+            # position (was two scalar searchsorted calls per position)
+            allele_lo = np.searchsorted(native.allele_pos, kept_regions,
+                                        side="left")
+            allele_hi = np.searchsorted(native.allele_pos, kept_regions,
+                                        side="right")
+
+        def alleles_at(k, region_index):
             """(candidate, total, fwd, rev) at one position, in candidate-
             string order.  Native entries are decoded lazily — only for the
             few gate-passing positions, not the whole error tail."""
             if native is not None:
                 return [(native.allele_string(i), int(native.allele_total[i]),
                          int(native.allele_fwd[i]), int(native.allele_rev[i]))
-                        for i in native.allele_range(region_index)]
+                        for i in range(int(allele_lo[k]),
+                                       int(allele_hi[k]))]
             return [(c, allele_map[region_index][c],
                      allele_fwd[region_index][c],
                      allele_rev[region_index][c])
@@ -609,13 +618,13 @@ class RegionalSummary:
         # the wrap is the intended (reference astype) semantics — silence
         # numpy's scalar-overflow warning for the window loop
         saved_err = np.seterr(over="ignore")
-        for pos in filtered_positions:
+        for k, pos in enumerate(filtered_positions):
             region_index = pos - self.ref_start
             depth = int(min(coverage[region_index], MAX_COLOR))
             ref_base = self.reference_sequence[region_index]
             base_index = self._base_index(pos)
             for candidate, allele_depth, depth_fwd, depth_rev in \
-                    alleles_at(region_index):
+                    alleles_at(k, region_index):
                 frequency = allele_depth / max(1.0, float(depth))
                 type_digit = candidate[0]
                 if allele_depth < candidate_support_threshold:
