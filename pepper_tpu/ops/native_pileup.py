@@ -19,7 +19,7 @@ from ..io.native import get_lib
 
 @dataclass
 class NativePileup:
-    image: np.ndarray          # (n_rows, features) int64
+    image: np.ndarray          # (n_rows, features) int32
     coverage: np.ndarray       # (n_ref,) int64
     snp_count: np.ndarray
     insert_count: np.ndarray
@@ -98,7 +98,10 @@ def run_native_pileup(batch: ReadBatch, ref_seq: str, ref_start: int,
             return np.ctypeslib.as_array(
                 pointer, shape=(count,)).astype(dtype, copy=True)
 
-        image = arr("image", n_rows * features, np.int64, c.c_int32) \
+        # int32 (the native accumulator's own width): every downstream
+        # consumer (ref-channel add, clamp, int8 cast) is value-bounded,
+        # and the int64 upcast copy was pure memory traffic
+        image = arr("image", n_rows * features, np.int32, c.c_int32) \
             .reshape(n_rows, features)
         offsets = arr("allele_str_offsets", n_alleles + 1, np.int64,
                       c.c_int64)
