@@ -216,6 +216,37 @@ long long pepper_polish_summary(
       reinterpret_cast<int32_t*>(insert_events), insert_cap);
 }
 
+// ---------------- Candidate-window emission ----------------
+
+long long pepper_emit_windows(
+    const signed char* image, int features, long long region_size,
+    int window_size, long long n_positions, const long long* base_index,
+    const int* depth, const unsigned char* ref_base,
+    const unsigned char* pass_mask, const long long* allele_lo,
+    const long long* allele_hi, const char* allele_blob,
+    const long long* allele_offsets, const int* allele_total,
+    const int* allele_fwd, const int* allele_rev, double support_threshold,
+    double snp_freq_threshold, double indel_freq_threshold, int skip_indels,
+    signed char* out_images, int* out_position_k, long long* out_allele_index,
+    int* out_freq, long long out_cap) {
+  return emit_candidate_windows(
+      reinterpret_cast<const int8_t*>(image), features, region_size,
+      window_size, n_positions,
+      reinterpret_cast<const int64_t*>(base_index),
+      reinterpret_cast<const int32_t*>(depth), ref_base, pass_mask,
+      reinterpret_cast<const int64_t*>(allele_lo),
+      reinterpret_cast<const int64_t*>(allele_hi), allele_blob,
+      reinterpret_cast<const int64_t*>(allele_offsets),
+      reinterpret_cast<const int32_t*>(allele_total),
+      reinterpret_cast<const int32_t*>(allele_fwd),
+      reinterpret_cast<const int32_t*>(allele_rev), support_threshold,
+      snp_freq_threshold, indel_freq_threshold, skip_indels,
+      reinterpret_cast<int8_t*>(out_images),
+      reinterpret_cast<int32_t*>(out_position_k),
+      reinterpret_cast<int64_t*>(out_allele_index),
+      reinterpret_cast<int32_t*>(out_freq), out_cap);
+}
+
 // ---------------- Pileup ----------------
 
 // Builds a ReadBatch view from packed arrays (so Python-side downsampled

@@ -1,3 +1,5 @@
+#include <cstring>
+
 #include "pileup.h"
 
 #include <algorithm>
@@ -664,4 +666,164 @@ long long polish_summary_walk(
     }
   }
   return n_events;
+}
+
+// ---------------- candidate-window emission (inference path) ----------------
+// The per-candidate gate + window-image assembly loop of
+// ops/pileup_ref.py generate_summary (itself exact to
+// region_summary.cpp:568-916's candidate pass), for the inference path
+// (train_mode=False, build_window_images=True).  The Python loop remains
+// the golden engine (PEPPER_PY_WINDOWS=1) and the two must emit identical
+// window sets (tests/test_native_pileup.py A/B).
+//
+// Inputs: the already-clamped int8 region image plus per-gate-passing-
+// position arrays prepared by the (vectorized) Python caller; outputs:
+// packed window images and (position, allele) indices the caller decodes
+// into CandidateWindow objects.  Returns the emitted window count, or -1
+// if out_cap would be exceeded.
+
+namespace {
+
+// ops/pileup_ref.py get_feature_index: fwd block col 7, rev col 18;
+// -1 when the reference base is not ACGT (the Python loop then writes
+// column -1 == features-1 — a preserved quirk)
+inline int window_feature_index(uint8_t ref_base, uint8_t base,
+                                bool is_reverse) {
+  switch (ref_base) {
+    case 'A': case 'C': case 'G': case 'T':
+    case 'a': case 'c': case 'g': case 't':
+      break;
+    default:
+      return -1;
+  }
+  int value;
+  switch (base) {
+    case 'A': case 'a': value = 1; break;
+    case 'C': case 'c': value = 2; break;
+    case 'G': case 'g': value = 3; break;
+    case 'T': case 't': value = 4; break;
+    case 'I': case 'i': value = 5; break;
+    case 'D': case 'd': value = 6; break;
+    default: value = 7; break;
+  }
+  return (is_reverse ? 18 : 7) + value;
+}
+
+inline int window_ref_feature_value(uint8_t base) {
+  switch (base) {
+    case 'A': case 'a': return 1;
+    case 'C': case 'c': return 2;
+    case 'G': case 'g': return 3;
+    case 'T': case 't': return 4;
+    default: return 5;
+  }
+}
+
+// int8 negation with the numpy wrap semantics (-(-128) stays -128)
+inline void window_negate(int8_t* row, int features, int index) {
+  const int column = index < 0 ? features - 1 : index;
+  row[column] = static_cast<int8_t>(
+      static_cast<uint8_t>(0u - static_cast<uint8_t>(row[column])));
+}
+
+inline int8_t clamp_color_i8(int64_t v) {
+  return static_cast<int8_t>(v < 125 ? v : 125);
+}
+
+}  // namespace
+
+long long emit_candidate_windows(
+    const int8_t* image, int features, int64_t region_size,
+    int window_size, int64_t n_positions, const int64_t* base_index,
+    const int32_t* depth, const uint8_t* ref_base, const uint8_t* pass_mask,
+    const int64_t* allele_lo, const int64_t* allele_hi,
+    const char* allele_blob, const int64_t* allele_offsets,
+    const int32_t* allele_total, const int32_t* allele_fwd,
+    const int32_t* allele_rev, double support_threshold,
+    double snp_freq_threshold, double indel_freq_threshold, int skip_indels,
+    int8_t* out_images, int32_t* out_position_k, int64_t* out_allele_index,
+    int32_t* out_freq, int64_t out_cap) {
+  const int rows_per_window = window_size + 1;
+  const int half = window_size / 2;
+  long long n_out = 0;
+  for (int64_t k = 0; k < n_positions; ++k) {
+    const int64_t lo = allele_lo[k], hi = allele_hi[k];
+    const int32_t pos_depth = depth[k];
+    const double denom = pos_depth > 1 ? static_cast<double>(pos_depth) : 1.0;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t total = allele_total[i];
+      const double frequency = total / denom;
+      const char* cand = allele_blob + allele_offsets[i];
+      const int64_t cand_len = allele_offsets[i + 1] - allele_offsets[i];
+      const char type_digit = cand_len > 0 ? cand[0] : 0;
+      if (total < support_threshold) continue;
+      if (type_digit != '1' && frequency < indel_freq_threshold) continue;
+      if (type_digit == '1' && frequency < snp_freq_threshold) continue;
+      if (type_digit != '1' && skip_indels) continue;
+      const uint8_t mask = pass_mask[k];
+      if ((type_digit == '1' && !(mask & 1)) ||
+          (type_digit == '2' && !(mask & 2)) ||
+          (type_digit == '3' && !(mask & 4)))
+        continue;
+
+      if (n_out >= out_cap) return -1;
+      int8_t* window = out_images +
+                       n_out * static_cast<int64_t>(rows_per_window) *
+                           features;
+      std::memset(window, 0,
+                  static_cast<size_t>(rows_per_window) * features);
+      const int64_t row0 = base_index[k] - half;
+      const int64_t src_lo = std::max<int64_t>(0, row0);
+      const int64_t src_hi =
+          std::min<int64_t>(region_size + 1, base_index[k] + half + 1);
+      if (src_hi > src_lo)
+        std::memcpy(window + (src_lo - row0) * features,
+                    image + src_lo * features,
+                    static_cast<size_t>(src_hi - src_lo) * features);
+
+      int8_t* mid = window + static_cast<int64_t>(half) * features;
+      const uint8_t rb = ref_base[k];
+      const int32_t depth_fwd = allele_fwd[i];
+      const int32_t depth_rev = allele_rev[i];
+      if (type_digit == '1') {
+        const uint8_t alt = cand_len > 1
+                                ? static_cast<uint8_t>(cand[1]) : 0;
+        mid[1] = static_cast<int8_t>(window_ref_feature_value(alt));
+        mid[5] = clamp_color_i8(depth_fwd);
+        mid[16] = clamp_color_i8(depth_rev);
+        window_negate(mid, features, window_feature_index(rb, alt, false));
+        window_negate(mid, features, window_feature_index(rb, alt, true));
+      } else if (type_digit == '2') {
+        mid[2] = clamp_color_i8(cand_len - 1);
+        mid[6] = clamp_color_i8(depth_fwd);
+        mid[17] = clamp_color_i8(depth_rev);
+        window_negate(mid, features, window_feature_index(rb, 'I', false));
+        window_negate(mid, features, window_feature_index(rb, 'I', true));
+      } else {
+        const int64_t del_len = cand_len - 1;
+        const int64_t end_index =
+            std::min<int64_t>(half + del_len - 1, window_size - 1);
+        mid[3] = clamp_color_i8(del_len);
+        mid[7] = clamp_color_i8(depth_fwd);
+        mid[18] = clamp_color_i8(depth_rev);
+        window_negate(mid, features, window_feature_index(rb, 'D', false));
+        window_negate(mid, features, window_feature_index(rb, 'D', true));
+        const int star_fwd = window_feature_index(rb, '*', false);
+        const int star_rev = window_feature_index(rb, '*', true);
+        for (int64_t idx = half + 1; idx <= end_index; ++idx) {
+          int8_t* row = window + idx * features;
+          row[3] = clamp_color_i8(del_len);
+          row[7] = clamp_color_i8(depth_fwd);
+          row[18] = clamp_color_i8(depth_rev);
+          window_negate(row, features, star_fwd);
+          window_negate(row, features, star_rev);
+        }
+      }
+      out_position_k[n_out] = static_cast<int32_t>(k);
+      out_allele_index[n_out] = i;
+      out_freq[n_out] = std::min<int32_t>(total, 125);
+      ++n_out;
+    }
+  }
+  return n_out;
 }

@@ -61,3 +61,18 @@ long long polish_summary_walk(
     int64_t n_reads, int64_t region_start, int64_t region_end,
     double* base_dense, double* cov_dense, int32_t* insert_events,
     int64_t insert_cap);
+
+// Candidate-window emission for the inference path (golden spec:
+// ops/pileup_ref.py generate_summary's per-candidate loop; Python engine
+// under PEPPER_PY_WINDOWS=1).  See pileup.cpp for the contract.
+long long emit_candidate_windows(
+    const int8_t* image, int features, int64_t region_size,
+    int window_size, int64_t n_positions, const int64_t* base_index,
+    const int32_t* depth, const uint8_t* ref_base, const uint8_t* pass_mask,
+    const int64_t* allele_lo, const int64_t* allele_hi,
+    const char* allele_blob, const int64_t* allele_offsets,
+    const int32_t* allele_total, const int32_t* allele_fwd,
+    const int32_t* allele_rev, double support_threshold,
+    double snp_freq_threshold, double indel_freq_threshold, int skip_indels,
+    int8_t* out_images, int32_t* out_position_k, int64_t* out_allele_index,
+    int32_t* out_freq, int64_t out_cap);

@@ -132,3 +132,75 @@ def run_native_pileup(batch: ReadBatch, ref_seq: str, ref_start: int,
         )
     finally:
         lib.pepper_pileup_free(handle)
+
+
+_emit_windows_fn = None
+
+
+def emit_windows_native(image_int8, region_size, window_size, feature_size,
+                        base_indices, depths, ref_codes, pass_masks,
+                        allele_lo, allele_hi, native: NativePileup,
+                        support_threshold, snp_freq_threshold,
+                        indel_freq_threshold, skip_indels):
+    """Native candidate-window emission (capi.cpp pepper_emit_windows —
+    golden spec: the Python per-candidate loop in ops/pileup_ref.py).
+    Returns (images (n, W+1, F) int8, position_k int32, allele_index int64,
+    freq int32) or None when the native library is unavailable."""
+    global _emit_windows_fn
+    c = ctypes
+    if _emit_windows_fn is None:
+        try:
+            lib = get_lib()
+            fn = lib.pepper_emit_windows
+            fn.restype = c.c_longlong
+            fn.argtypes = [
+                c.POINTER(c.c_int8), c.c_int, c.c_longlong, c.c_int,
+                c.c_longlong, c.POINTER(c.c_longlong), c.POINTER(c.c_int),
+                c.POINTER(c.c_ubyte), c.POINTER(c.c_ubyte),
+                c.POINTER(c.c_longlong), c.POINTER(c.c_longlong),
+                c.c_char_p, c.POINTER(c.c_longlong), c.POINTER(c.c_int),
+                c.POINTER(c.c_int), c.POINTER(c.c_int), c.c_double,
+                c.c_double, c.c_double, c.c_int, c.POINTER(c.c_int8),
+                c.POINTER(c.c_int), c.POINTER(c.c_longlong),
+                c.POINTER(c.c_int), c.c_longlong]
+            _emit_windows_fn = fn
+        except (OSError, AttributeError):
+            _emit_windows_fn = False
+    if _emit_windows_fn is False:
+        return None
+
+    n_positions = len(base_indices)
+    cap = int((allele_hi - allele_lo).sum()) + 1
+    out_images = np.empty((cap, window_size + 1, feature_size), np.int8)
+    out_pos_k = np.empty(cap, np.int32)
+    out_allele = np.empty(cap, np.int64)
+    out_freq = np.empty(cap, np.int32)
+
+    image_int8 = np.ascontiguousarray(image_int8, np.int8)
+    base_indices = np.ascontiguousarray(base_indices, np.int64)
+    depths = np.ascontiguousarray(depths, np.int32)
+    ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
+    pass_masks = np.ascontiguousarray(pass_masks, np.uint8)
+    allele_lo = np.ascontiguousarray(allele_lo, np.int64)
+    allele_hi = np.ascontiguousarray(allele_hi, np.int64)
+    offsets = np.ascontiguousarray(native.allele_str_offsets, np.int64)
+    totals = np.ascontiguousarray(native.allele_total, np.int32)
+    fwd = np.ascontiguousarray(native.allele_fwd, np.int32)
+    rev = np.ascontiguousarray(native.allele_rev, np.int32)
+
+    n = _emit_windows_fn(
+        _ptr(image_int8, c.c_int8), feature_size, region_size, window_size,
+        n_positions, _ptr(base_indices, c.c_longlong),
+        _ptr(depths, c.c_int), _ptr(ref_codes, c.c_ubyte),
+        _ptr(pass_masks, c.c_ubyte), _ptr(allele_lo, c.c_longlong),
+        _ptr(allele_hi, c.c_longlong), native.allele_str_blob,
+        _ptr(offsets, c.c_longlong), _ptr(totals, c.c_int),
+        _ptr(fwd, c.c_int), _ptr(rev, c.c_int), float(support_threshold),
+        float(snp_freq_threshold), float(indel_freq_threshold),
+        1 if skip_indels else 0, _ptr(out_images, c.c_int8),
+        _ptr(out_pos_k, c.c_int), _ptr(out_allele, c.c_longlong),
+        _ptr(out_freq, c.c_int), cap)
+    if n < 0:
+        return None
+    n = int(n)
+    return out_images[:n], out_pos_k[:n], out_allele[:n], out_freq[:n]

@@ -618,6 +618,52 @@ class RegionalSummary:
         # the wrap is the intended (reference astype) semantics — silence
         # numpy's scalar-overflow warning for the window loop
         saved_err = np.seterr(over="ignore")
+
+        # native window emission (inference path): the whole gate loop +
+        # per-window image assembly in one C call (pepper_emit_windows),
+        # identical output to the Python loop below (A/B-tested in
+        # tests/test_native_pileup.py; PEPPER_PY_WINDOWS=1 forces Python)
+        import os as _os
+
+        if (native is not None and not train_mode and build_window_images
+                and _os.environ.get("PEPPER_PY_WINDOWS") != "1"):
+            from .native_pileup import emit_windows_native
+
+            base_indices = (kept_regions
+                            + self.cumulative_observed_insert[kept_regions])
+            depths = np.minimum(coverage[kept_regions],
+                                MAX_COLOR).astype(np.int32)
+            ref_codes = np.frombuffer(
+                self.reference_sequence.encode("latin-1"),
+                np.uint8)[kept_regions]
+            pass_masks = (snp_pass[kept_regions].astype(np.uint8)
+                          + 2 * insert_pass[kept_regions].astype(np.uint8)
+                          + 4 * delete_pass[kept_regions].astype(np.uint8))
+            result = emit_windows_native(
+                image, region_size, candidate_window_size, feature_size,
+                base_indices, depths, ref_codes, pass_masks, allele_lo,
+                allele_hi, native, candidate_support_threshold,
+                snp_candidate_freq_threshold,
+                indel_candidate_freq_threshold, skip_indels)
+            if result is not None:
+                out_images, pos_k, allele_idx, freqs = result
+                pos_arr = filtered_positions
+                for j in range(len(pos_k)):
+                    k = int(pos_k[j])
+                    i = int(allele_idx[j])
+                    candidate = native.allele_string(i)
+                    pos = pos_arr[k]
+                    self.descriptor_rows.append(
+                        (pos, candidate, int(native.allele_fwd[i]),
+                         int(native.allele_rev[i])))
+                    windows.append(CandidateWindow(
+                        contig=self.contig, position=pos,
+                        depth=int(depths[k]), candidates=[candidate],
+                        candidate_frequency=[int(freqs[j])],
+                        image=out_images[j], base_label=0, type_label=0))
+                np.seterr(**saved_err)
+                return windows
+
         for k, pos in enumerate(filtered_positions):
             region_index = pos - self.ref_start
             depth = int(min(coverage[region_index], MAX_COLOR))

@@ -103,3 +103,36 @@ def test_native_matches_python(tmp_path, seed, hp_mode):
 
     assert len(python_windows) > 0
     compare_windows(native_windows, python_windows)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_native_window_emitter_matches_python_loop(tmp_path, seed,
+                                                   monkeypatch):
+    """Isolate the round-4 native window emitter: same native pileup walk,
+    window assembly via pepper_emit_windows vs the Python loop
+    (PEPPER_PY_WINDOWS=1) — windows and descriptor rows identical."""
+    rng = np.random.RandomState(seed)
+    ref = "".join("ACGT"[i] for i in rng.randint(0, 4, size=700))
+    reads = fuzz_reads(ref, rng, n_reads=80)
+    path = str(tmp_path / f"emit_{seed}.bam")
+    write_bam(path, [("chr1", len(ref))], reads)
+    batch = BamReader(path).get_reads("chr1", 0, len(ref) - 1)
+
+    kwargs = dict(THRESHOLDS)
+    kwargs.update(candidate_region_start=0,
+                  candidate_region_end=len(ref) - 1)
+
+    native_rs = RegionalSummary("chr1", 0, len(ref) - 1, ref,
+                                use_native=True)
+    native_rs.generate_max_insert_summary(batch)
+    native_windows = native_rs.generate_summary(batch, **kwargs)
+
+    monkeypatch.setenv("PEPPER_PY_WINDOWS", "1")
+    python_rs = RegionalSummary("chr1", 0, len(ref) - 1, ref,
+                                use_native=True)
+    python_rs.generate_max_insert_summary(batch)
+    python_windows = python_rs.generate_summary(batch, **kwargs)
+
+    assert len(native_windows) > 0
+    compare_windows(native_windows, python_windows)
+    assert native_rs.descriptor_rows == python_rs.descriptor_rows
