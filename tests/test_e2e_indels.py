@@ -81,3 +81,35 @@ def test_indel_heavy_dry_run(tmp_path):
     # no extra non-ref calls
     non_ref = {p for p, (_, _, gt) in called.items() if gt != "0/0"}
     assert non_ref == {p for p, _, _, _ in variants}
+
+
+def test_ont_str_genome_dry_pipeline(tmp_path):
+    """Pipeline-level integration under the round-4 'ont_str' model
+    (STR-planted genome, copy-count-scaled errors, coverage dropouts):
+    the dry label-passthrough call over a 300 kb scene must recover the
+    truth variants at high recall with zero false positives — exercising
+    window generation, gating and decode on STR/dropout-shaped pileups."""
+    import os
+
+    from simulate import build_mixed_genome, score_vcf_by_type
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.pipeline.call_variant import call_variant
+
+    res = build_mixed_genome(str(tmp_path), "g", 300_000, 180, 200, seed=9,
+                             error_model="ont_str")
+    out = str(tmp_path / "out")
+    options = set_parameters(PepperOptions(
+        bam=res["bam"], fasta=res["fasta"], output_dir=out, threads=2,
+        sample_name="S", ont_r9_guppy5_sup=True, sub_command="call_variant",
+        dry=True, train_mode=True, truth_vcf=res["truth"],
+        random_draw_probability=1.0, region="chrA",
+        region_bed=res["bed"]))
+    totals = call_variant(options)
+    assert totals[0] > 0
+    scored = score_vcf_by_type(
+        os.path.join(out, "PEPPER_VARIANT_FULL.vcf.gz"), res["variants"])
+    # dry mode: labels are truth passthrough, so recall should be near-1
+    # even in STR/dropout contexts; precision exactly 1
+    assert scored["ALL"]["recall"] >= 0.97, scored["ALL"]
+    assert scored["ALL"]["fp"] == 0, scored["ALL"]
