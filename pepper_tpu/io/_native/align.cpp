@@ -610,9 +610,10 @@ AlignmentResult smith_waterman(const std::string& target,
   // range: scores/decays bounded by the ext*len + open terms (which also
   // bound m and n, since gap_extend >= 1 is required), target index j in
   // the best-cell tracker bounded by n, and the raw penalties themselves
-  // value-plane memory guard: the striped engine streams exact H/E/F int16
-  // rows (3 planes of n x padded-m cells); beyond ~16M padded cells
-  // (~100 MB transient) the scalar engine is the better citizen
+  // value-plane memory guard: the striped engine stores the exact int16 H
+  // plane plus one e==H bit per cell (~2.25 bytes/cell over n x padded-m
+  // cells, ~36 MB transient at the 1<<24 cap); beyond that the scalar
+  // engine is the better citizen
   const int64_t padded_m = (m + 15) / 16 * 16;
   if (m > 0 && n > 0 && gap_open_penalty >= gap_extend_penalty &&
       gap_extend_penalty >= 1 && mismatch_penalty >= 0 &&

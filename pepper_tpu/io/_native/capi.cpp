@@ -121,7 +121,8 @@ void* pepper_align_narrow(const char* target, const char* query,
 // emits BAM-coded CIGAR arrays directly.  out_pos[i] = ref_begin (or -1
 // when best_score <= 0 — caller keeps the original alignment);
 // out_ref_span[i] = reference bases consumed (M/=/X/D).  Returns the
-// total op count, or -1 if ops_cap would be exceeded.
+// total op count, or -1 if ops_cap would be exceeded or an unexpected
+// CIGAR op appears (caller falls back to the Python engine).
 long long pepper_align_batch(
     const char* target, long long target_len, const long long* seq_offsets,
     const unsigned char* seq, long long n_reads, int match_score,
@@ -160,7 +161,10 @@ long long pepper_align_batch(
         case 'S': op = 4; break;
         case '=': op = 7; break;
         case 'X': op = 8; break;
-        default: op = 0; break;
+        // the aligner only emits the ops above; anything else would
+        // corrupt ref_span/cigar codes, so signal the caller to fall
+        // back to the per-read Python engine
+        default: return -1;
       }
       if (op == 0 || op == 2 || op == 7 || op == 8) ref_span += value;
       if (n_ops >= ops_cap) return -1;

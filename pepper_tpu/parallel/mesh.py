@@ -94,13 +94,14 @@ def replicate_cached(mesh: Mesh, tree):
     """`replicate` memoized on (mesh, tree identity): prediction loops call
     the wrapper once per HDF5 file / interval with the same host params —
     without the cache every call would re-transfer the weights to every
-    device.  The original tree is kept referenced so its id() stays valid."""
-    key = (mesh, id(tree))
-    hit = _replicate_cache.get(key)
+    device.  One entry per mesh (the entry pins the host tree so its id()
+    stays valid); passing a different tree for the same mesh replaces the
+    entry, so checkpoint reloads don't accumulate host/device copies."""
+    hit = _replicate_cache.get(mesh)
     if hit is not None and hit[0] is tree:
         return hit[1]
     replicated = replicate(mesh, tree)
-    _replicate_cache[key] = (tree, replicated)
+    _replicate_cache[mesh] = (tree, replicated)
     return replicated
 
 

@@ -112,7 +112,13 @@ def _native_summary_walk(summary, batch: ReadBatch) -> bool:
         ptr(summary._base_dense, c.c_double),
         ptr(summary._cov_dense, c.c_double), ptr(events, c.c_int), cap)
     if n_events < 0:
-        return False  # cannot happen with the seq-length cap; be safe
+        # the C walk has already mutated base_dense/cov_dense in place, so
+        # falling back to the Python engine here would double-count; the
+        # seq-length cap makes this unreachable (<=1 event per inserted
+        # base), so an overflow means a logic bug — fail loudly
+        raise RuntimeError(
+            "polish_summary_walk event capacity exceeded "
+            f"(cap={cap}); native/python accumulators out of sync")
     if n_events:
         triples = events[:3 * n_events].reshape(-1, 3)
         uniq, counts = np.unique(triples, axis=0, return_counts=True)

@@ -56,10 +56,13 @@ def test_two_process_multihost_training_matches_single_process(tmp_path):
                              f"{devices_per_proc}",
                    PYTHONPATH=pythonpath)
         coordinator = f"127.0.0.1:{_free_port()}"
+        # each rank gets its OWN output dir so rank-0-only writes are
+        # observable: non-zero ranks must leave their dir empty
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, coordinator, str(n_procs),
-                 str(rank), image_dir, out_dir, mode],
+                 str(rank), image_dir,
+                 out_dir if rank == 0 else f"{out_dir}_rank{rank}", mode],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
             for rank in range(n_procs)
         ]
@@ -75,9 +78,11 @@ def test_two_process_multihost_training_matches_single_process(tmp_path):
                      allow_pickle=True)
     dist = np.load(os.path.join(dist_dir, "pepper_model_final.npz"),
                    allow_pickle=True)
-    # rank 1 must not have written checkpoints (rank-0-only writes)
-    assert not os.path.exists(os.path.join(dist_dir, "train_loss.csv")) \
-        or os.path.getsize(os.path.join(dist_dir, "train_loss.csv")) > 0
+    # rank 1 must not have written checkpoints/logs (rank-0-only writes);
+    # its private dir may exist (makedirs) but must contain no files
+    rank1_dir = dist_dir + "_rank1"
+    rank1_files = os.listdir(rank1_dir) if os.path.isdir(rank1_dir) else []
+    assert rank1_files == [], rank1_files
     keys = sorted(k for k in single.files if k != "__meta__")
     assert keys == sorted(k for k in dist.files if k != "__meta__")
     for key in keys:
