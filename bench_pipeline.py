@@ -408,6 +408,84 @@ def bench_consensus(num_devices: int, batch: int = 512,
              f"{rate / 1e6:.1f}M positions/s sustained")
 
 
+def bench_windows(genome_mb: float, error_model: str = "ont",
+                  repeats: int = 2):
+    """Single-core window-generation bench under a realistic error model —
+    the flagship's e2e bound (PERFORMANCE.md "round 4" row).  Builds a
+    mixed-variant genome at ~36x with ONT-like errors, then times
+    (a) the BAM fetch+decode alone and (b) full create_region_summary
+    (fetch + native pileup walk + window emission), one thread.
+
+      python bench_pipeline.py windows [mb] [error_model] [repeats]
+    """
+    import numpy as np
+
+    from simulate import (build_mixed_genome, random_reference,
+                          simulate_reads)
+    from pepper_tpu.io.bam import BamReader
+    from pepper_tpu.io.bam_writer import write_bam, write_fasta
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.pipeline.call_variant import generate_windows
+    from pepper_tpu.pipeline.regions import build_intervals
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.utils.profiling import log_line
+
+    length = int(genome_mb * 1_000_000)
+    tmp = tempfile.mkdtemp(prefix="pepper_winbench_")
+    log_line(f"SIMULATING {genome_mb} Mb GENOME @ ~36x, "
+             f"error_model={error_model}")
+    ref = random_reference(length, seed=3)
+    alt = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    rng = np.random.RandomState(3)
+    positions = sorted(rng.choice(np.arange(500, length - 500, 700),
+                                  size=length // 1400, replace=False))
+    hap1 = [(int(p), ref[p], alt[ref[p]]) for p in positions]
+    hap2 = [v for i, v in enumerate(hap1) if i % 3 == 0]
+    records = simulate_reads(ref, [hap1, hap2], read_len=3000,
+                             strides=[170, 170], error_model=error_model)
+    bam = os.path.join(tmp, "r.bam")
+    fasta = os.path.join(tmp, "ref.fa")
+    write_bam(bam, [("chrB", length)], records)
+    write_fasta(fasta, {"chrB": ref})
+    aligned_bases = sum(len(r.seq) for r in records)
+    log_line(f"READS: {len(records)}  ALIGNED BASES: {aligned_bases:,}")
+
+    options = set_parameters(PepperOptions(
+        bam=bam, fasta=fasta, ont_r9_guppy5_sup=True,
+        sub_command="call_variant", region="chrB", threads=1,
+        output_dir=tmp))
+    fasta_handler = FastaReader(fasta)
+    intervals, _ = build_intervals([("chrB", None)], fasta_handler,
+                                   options.region_size)
+
+    # (a) BAM fetch + decode alone
+    best_fetch = float("inf")
+    for _ in range(repeats):
+        reader = BamReader(bam)
+        start = time.perf_counter()
+        total = 0
+        for contig, lo, hi in intervals:
+            batch = reader.get_reads(contig, max(0, lo - 100), hi + 100,
+                                     False, options.min_mapq,
+                                     options.min_snp_baseq)
+            total += int(batch.seq_offsets[-1])
+        best_fetch = min(best_fetch, time.perf_counter() - start)
+    log_line(f"BAM FETCH: {best_fetch:.2f} s "
+             f"({aligned_bases / best_fetch / 1e6:.1f}M aligned b/s)")
+
+    # (b) full window generation, one thread
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        windows = generate_windows(options, intervals, None, 1)
+        best = min(best, time.perf_counter() - start)
+    log_line(f"WINDOW GENERATION (1 thread): {best:.2f} s "
+             f"({aligned_bases / best / 1e6:.1f}M aligned b/s/core), "
+             f"{len(windows)} windows")
+    return best
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "consensus":
         bench_consensus(int(sys.argv[2]) if len(sys.argv) > 2 else 1,
@@ -417,6 +495,10 @@ if __name__ == "__main__":
         bench_vcf_only(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
                        int(sys.argv[3]) if len(sys.argv) > 3
                        else (os.cpu_count() or 4))
+    elif len(sys.argv) > 1 and sys.argv[1] == "windows":
+        bench_windows(float(sys.argv[2]) if len(sys.argv) > 2 else 3.0,
+                      sys.argv[3] if len(sys.argv) > 3 else "ont",
+                      int(sys.argv[4]) if len(sys.argv) > 4 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "device":
         bench_device(float(sys.argv[2]) if len(sys.argv) > 2 else 5.0,
                      int(sys.argv[3]) if len(sys.argv) > 3

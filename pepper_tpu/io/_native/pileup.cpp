@@ -86,6 +86,122 @@ inline int feature_index_hp(char ref_base, char base, bool is_reverse,
 
 using AlleleKey = std::pair<int64_t, std::string>;
 
+// ---------------- packed allele keys ----------------
+// Per-observation allele recording previously built a std::string
+// ("2"+alt / "3"+ref_allele) and walked a std::map with string
+// comparisons — one heap allocation plus O(log n) string compares per
+// observation, measured at ~37% of error-rich window generation
+// (PERFORMANCE.md round 5).  Alleles whose content packs into 54 bits are
+// instead keyed by a POD (position, code) pair in a small open-addressing
+// table:  code = [type:4][len:6][content:54]
+//   - SNP spill ("1"+base, non-ACGT bases only): one nibble of content
+//   - INS ("2"+alt): alt packed 4 bits/char via the BAM nibble alphabet
+//     "=ACMGRSVTWYHKDBN"; alt longer than 13 chars or containing a char
+//     outside that alphabet falls back to the string map
+//   - DEL ("3"+ref_allele): the content is ref-determined by
+//     (anchor, substring length), so the code stores ONLY the length —
+//     every deletion packs
+// Candidate strings are reconstructed once at fold time and merged with
+// the string-map spill and the flat SNP tallies in exact (pos, string)
+// order, so the emitted columnar output is bit-identical to the
+// map-only implementation (fuzzed in tests/test_native_pileup.py).
+struct NibbleTables {
+  uint8_t code[256];   // 0-15 for the BAM alphabet, 0xFF otherwise
+  char chr[16];
+  uint8_t rank[16];    // nibble code -> ASCII rank within the alphabet,
+                       // so rank-packed integers order like the strings
+  constexpr NibbleTables() : code(), chr(), rank() {
+    for (int i = 0; i < 256; ++i) code[i] = 0xFF;
+    const char* alphabet = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 16; ++i) {
+      chr[i] = alphabet[i];
+      code[static_cast<unsigned char>(alphabet[i])] =
+          static_cast<uint8_t>(i);
+    }
+    for (int i = 0; i < 16; ++i) {
+      uint8_t r = 0;
+      for (int j = 0; j < 16; ++j)
+        if (alphabet[j] < alphabet[i]) ++r;
+      rank[i] = r;
+    }
+  }
+};
+
+constexpr NibbleTables kNibble;
+
+// Packs `len` chars of `s` plus a type digit into one uint64 key; false
+// when the content does not fit or uses a non-BAM char (spill path).
+inline bool pack_allele(const char* s, int64_t len, uint64_t type,
+                        uint64_t* out) {
+  if (len > 13) return false;
+  uint64_t content = 0, bad = 0;
+  for (int64_t i = 0; i < len; ++i) {
+    const uint8_t c = kNibble.code[static_cast<unsigned char>(s[i])];
+    bad |= c;
+    content = (content << 4) | (c & 0xFu);
+  }
+  if (bad & 0x80u) return false;
+  *out = (type << 60) | (static_cast<uint64_t>(len) << 54) | content;
+  return true;
+}
+
+struct PackedTally {
+  int64_t pos;
+  uint64_t code;
+  AlleleTally tally;
+};
+
+// Open-addressing (pos, code) -> tally table: linear probing over a
+// power-of-two slot array of 1-based indices into a dense entry vector.
+// Insertion-ordered entries make the fold deterministic before the final
+// (pos, string) sort.
+class PackedAlleleTable {
+ public:
+  PackedAlleleTable() : slots_(1024, 0), mask_(1023) {}
+
+  AlleleTally& lookup(int64_t pos, uint64_t code) {
+    if ((entries_.size() + 1) * 10 >= slots_.size() * 7) grow();
+    size_t i = hash(pos, code) & mask_;
+    while (true) {
+      const int32_t s = slots_[i];
+      if (s == 0) {
+        entries_.push_back(PackedTally{pos, code, AlleleTally{}});
+        slots_[i] = static_cast<int32_t>(entries_.size());
+        return entries_.back().tally;
+      }
+      PackedTally& e = entries_[s - 1];
+      if (e.pos == pos && e.code == code) return e.tally;
+      i = (i + 1) & mask_;
+    }
+  }
+
+  const std::vector<PackedTally>& entries() const { return entries_; }
+
+ private:
+  static size_t hash(int64_t pos, uint64_t code) {
+    uint64_t x = static_cast<uint64_t>(pos) * 0x9E3779B97F4A7C15ull ^
+                 code * 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 29;
+    x *= 0x94D049BB133111EBull;
+    x ^= x >> 32;
+    return static_cast<size_t>(x);
+  }
+
+  void grow() {
+    slots_.assign(slots_.size() * 2, 0);
+    mask_ = slots_.size() - 1;
+    for (size_t k = 0; k < entries_.size(); ++k) {
+      size_t i = hash(entries_[k].pos, entries_[k].code) & mask_;
+      while (slots_[i] != 0) i = (i + 1) & mask_;
+      slots_[i] = static_cast<int32_t>(k + 1);
+    }
+  }
+
+  std::vector<int32_t> slots_;
+  std::vector<PackedTally> entries_;
+  size_t mask_;
+};
+
 // Fast-path code for the 2-char SNP candidates "1A".."1T" — the dominant
 // allele class (every mismatching base records one).  A/C/G/T map to a
 // flat per-position tally array instead of a std::string + std::map
@@ -109,8 +225,14 @@ inline int snp_code(char base) {
 
 struct Accumulator {
   PileupResult* out;
-  std::map<AlleleKey, AlleleTally>* alleles;
-  std::vector<AlleleTally>* snp_tallies;  // (n_ref x 4) flat
+  std::map<AlleleKey, AlleleTally>* alleles;  // spill: unpackable alleles
+  PackedAlleleTable* packed;
+  // non-HP flat SNP tallies, (n_ref x 4 x {fwd,rev}): 8 bytes/tally keeps
+  // the random-access working set cache-resident (total = fwd + rev in
+  // non-HP mode, so it is not stored); HP mode uses the full AlleleTally
+  // layout because hp_tag==0 observations bump both haplotype blocks
+  int32_t* snp_fwd_rev;
+  std::vector<AlleleTally>* snp_tallies;  // (n_ref x 4) flat, HP mode
   int64_t ref_start, ref_end;
   const std::string* ref_seq;
   double min_snp_baseq, min_indel_baseq;
@@ -177,15 +299,39 @@ void record_allele(Accumulator& acc, int64_t region_index,
              acc.hp_mode);
 }
 
+// Allele content given by `content`/`content_len` (WITHOUT the leading
+// type digit): packed-key fast path, string-map spill otherwise.
+inline void record_content_allele(Accumulator& acc, int64_t region_index,
+                                  uint64_t type, const char* content,
+                                  int64_t content_len, bool is_reverse,
+                                  int hp_tag) {
+  uint64_t code;
+  if (pack_allele(content, content_len, type, &code)) {
+    bump_tally(acc.packed->lookup(region_index, code), is_reverse, hp_tag,
+               acc.hp_mode);
+  } else {
+    std::string candidate;
+    candidate.reserve(content_len + 1);
+    candidate.push_back(static_cast<char>('0' + type));
+    candidate.append(content, static_cast<size_t>(content_len));
+    record_allele(acc, region_index, candidate, is_reverse, hp_tag);
+  }
+}
+
 inline void record_snp_allele(Accumulator& acc, int64_t region_index,
                               char base, bool is_reverse, int hp_tag) {
   const int code = snp_code(base);
   if (code >= 0) {
-    bump_tally((*acc.snp_tallies)[region_index * 4 + code], is_reverse,
-               hp_tag, acc.hp_mode);
+    if (acc.hp_mode == 0) {
+      acc.snp_fwd_rev[region_index * 8 + code * 2 + (is_reverse ? 1 : 0)]
+          += 1;
+    } else {
+      bump_tally((*acc.snp_tallies)[region_index * 4 + code], is_reverse,
+                 hp_tag, acc.hp_mode);
+    }
   } else {
-    record_allele(acc, region_index, std::string("1") + base, is_reverse,
-                  hp_tag);
+    record_content_allele(acc, region_index, 1, &base, 1, is_reverse,
+                          hp_tag);
   }
 }
 
@@ -392,8 +538,10 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
         if (anchor >= ref_start && anchor <= ref_end && read_index - 1 >= 0) {
           const char ref_base = ref[anchor - ref_start];
           const int64_t base_index = anchor - ref_start;
-          std::string alt(seq + read_index - 1,
-                          seq + read_index + length);
+          // alt = anchor base + inserted bases, (length+1) chars from the
+          // read; the candidate string "2"+alt is only materialized on
+          // the packed-key spill path
+          const char* alt = seq + read_index - 1;
           if (!hp) {
             // anchor included: quality over length+1 bases from anchor
             const int64_t alt_len = length + 1;
@@ -404,14 +552,13 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
             if (base_quality >= acc.min_indel_baseq * alt_len &&
                 qual[start_index] < min_snp_q)
               acc.out->coverage[anchor - ref_start] += 1;
-            const std::string candidate = "2" + alt;
-            if (candidate.size() <= 61 &&
+            if (length + 2 <= 61 &&
                 base_quality >= acc.min_indel_baseq * alt_len) {
               const int fi = feature_index(ref_base, 'I', is_reverse);
               if (fi >= 0) acc.image_add(base_index, fi, -1);
               acc.out->insert_count[anchor - ref_start] += 1;
-              record_allele(acc, anchor - ref_start, candidate, is_reverse,
-                            hp_tag);
+              record_content_allele(acc, anchor - ref_start, 2, alt,
+                                    length + 1, is_reverse, hp_tag);
             }
           } else {
             // HP: quality over the inserted bases only; failing inserts
@@ -423,8 +570,7 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
             if (base_quality < acc.min_indel_baseq * ins_len &&
                 qual[read_index - 1] >= min_snp_q)
               acc.out->coverage[anchor - ref_start] -= 1;
-            const std::string candidate = "2" + alt;
-            if (candidate.size() <= 61 &&
+            if (length + 2 <= 61 &&
                 base_quality >= acc.min_indel_baseq * ins_len) {
               for (int b = 0; b < n_blocks; ++b) {
                 const int fi = feature_index_hp(ref_base, 'I', is_reverse,
@@ -432,8 +578,8 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
                 if (fi >= 0) acc.image_add(base_index, fi, +1);
               }
               acc.out->insert_count[anchor - ref_start] += 1;
-              record_allele(acc, anchor - ref_start, candidate, is_reverse,
-                            hp_tag);
+              record_content_allele(acc, anchor - ref_start, 2, alt,
+                                    length + 1, is_reverse, hp_tag);
             }
           }
         }
@@ -457,14 +603,16 @@ void populate_read(Accumulator& acc, const ReadBatch& batch, size_t r) {
           }
           const int64_t avail = static_cast<int64_t>(ref.size())
                                 - (anchor - ref_start);
-          const std::string ref_allele = ref.substr(
-              anchor - ref_start,
-              std::min<int64_t>(length + 1, avail));
-          const std::string candidate = "3" + ref_allele;
-          if (candidate.size() <= 61) {
+          // the candidate "3" + ref_allele is fully determined by
+          // (anchor, substring length), so the packed key stores only the
+          // length — the string is rebuilt from ref at fold time
+          const int64_t sub_len = std::min<int64_t>(length + 1, avail);
+          if (sub_len + 1 <= 61) {
             acc.out->delete_count[anchor - ref_start] += 1;
-            record_allele(acc, anchor - ref_start, candidate, is_reverse,
-                          hp_tag);
+            const uint64_t code =
+                (3ull << 60) | (static_cast<uint64_t>(sub_len) << 54);
+            bump_tally(acc.packed->lookup(anchor - ref_start, code),
+                       is_reverse, hp_tag, acc.hp_mode);
           }
         }
         for (int64_t i = 0; i < length; ++i) {
@@ -519,30 +667,92 @@ PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
   result.delete_count.assign(n_ref, 0);
 
   std::map<AlleleKey, AlleleTally> alleles;
-  std::vector<AlleleTally> snp_tallies(static_cast<size_t>(n_ref) * 4);
-  Accumulator acc{&result, &alleles, &snp_tallies, ref_start, ref_end,
-                  &ref_seq, min_snp_baseq, min_indel_baseq, hp_mode};
+  PackedAlleleTable packed;
+  std::vector<int32_t> snp_fwd_rev(
+      hp_mode ? 0 : static_cast<size_t>(n_ref) * 8, 0);
+  std::vector<AlleleTally> snp_tallies(
+      hp_mode ? static_cast<size_t>(n_ref) * 4 : 0);
+  Accumulator acc{&result, &alleles, &packed, snp_fwd_rev.data(),
+                  &snp_tallies, ref_start, ref_end, &ref_seq,
+                  min_snp_baseq, min_indel_baseq, hp_mode};
 
   for (size_t r = 0; r < batch.n_reads(); ++r) {
     if (batch.mapq[r] > 0) populate_read(acc, batch, r);
   }
 
-  // fold the flat SNP tallies into the ordered map (keys "1A".."1T" never
-  // reach the map directly, so these are plain inserts)
-  static const char kSnpBases[4] = {'A', 'C', 'G', 'T'};
-  for (int64_t i = 0; i < n_ref; ++i) {
-    for (int code = 0; code < 4; ++code) {
-      const AlleleTally& tally = snp_tallies[i * 4 + code];
-      if (tally.total > 0)
-        alleles.emplace(AlleleKey{i, std::string("1") + kSnpBases[code]},
-                        tally);
-    }
+  // fold: merge the flat SNP tallies, the packed table, and the
+  // string-map spill into (pos, candidate-string) order — exactly what
+  // the old map-only implementation emitted — without constructing a
+  // std::string per entry.  Packed entries are counting-sorted by
+  // position; within a position their order is given by a numeric key
+  // whose integer order equals the candidate strings' byte order
+  // (ASCII-rank nibbles, left-aligned, length tie-break; deletions all
+  // share the ref-determined prefix so length alone orders them).  Flat
+  // SNP entries come out pre-ordered (A<C<G<T) and merge against the
+  // packed stream by the same key.  Only positions carrying a spill
+  // entry (non-BAM chars or >13-char inserts — vanishingly rare) take a
+  // per-position string sort.  Candidate bytes are written straight
+  // into the output blob.
+  const std::vector<PackedTally>& pe = packed.entries();
+  const size_t n_packed = pe.size();
+
+  std::vector<const std::pair<const AlleleKey, AlleleTally>*> spill;
+  spill.reserve(alleles.size());
+  for (const auto& kv : alleles) spill.push_back(&kv);
+
+  // bucket packed + spill entries by position
+  std::vector<int32_t> bucket_off(n_ref + 1, 0);
+  for (const PackedTally& e : pe) bucket_off[e.pos + 1]++;
+  for (const auto* s : spill) bucket_off[s->first.first + 1]++;
+  for (int64_t i = 0; i < n_ref; ++i) bucket_off[i + 1] += bucket_off[i];
+  std::vector<int32_t> order(n_packed + spill.size());
+  {
+    std::vector<int32_t> cursor(bucket_off.begin(), bucket_off.end() - 1);
+    for (size_t k = 0; k < n_packed; ++k)
+      order[cursor[pe[k].pos]++] = static_cast<int32_t>(k);
+    for (size_t k = 0; k < spill.size(); ++k)
+      order[cursor[spill[k]->first.first]++] =
+          static_cast<int32_t>(n_packed + k);
   }
 
+  // per-entry numeric sort keys for the packed entries
+  std::vector<uint64_t> key1(n_packed), key2(n_packed);
+  for (size_t k = 0; k < n_packed; ++k) {
+    const uint64_t code = pe[k].code;
+    const uint64_t type = code >> 60;
+    const uint64_t len = (code >> 54) & 0x3F;
+    uint64_t ranked = 0;
+    if (type != 3) {
+      for (int64_t i = static_cast<int64_t>(len) - 1; i >= 0; --i)
+        ranked = (ranked << 4) | kNibble.rank[(code >> (4 * i)) & 0xF];
+      ranked <<= 4 * (15 - len);  // left-align below the type nibble
+    }
+    key1[k] = (type << 60) | ranked;
+    key2[k] = len;
+  }
+
+  static const char kSnpBases[4] = {'A', 'C', 'G', 'T'};
+  // flat-SNP numeric keys for the merge: "1X" with X's ASCII rank
+  uint64_t snp_key1[4];
+  for (int code = 0; code < 4; ++code)
+    snp_key1[code] =
+        (1ull << 60) |
+        (static_cast<uint64_t>(
+             kNibble.rank[kNibble.code[static_cast<unsigned char>(
+                 kSnpBases[code])]])
+         << 56);
+
+  const size_t total_reserve = n_packed + spill.size() + 1024;
+  result.allele_pos.reserve(total_reserve);
+  result.allele_total.reserve(total_reserve);
+  result.allele_fwd.reserve(total_reserve);
+  result.allele_rev.reserve(total_reserve);
+  result.allele_str_offsets.reserve(total_reserve + 1);
+  result.allele_strs.reserve(total_reserve * 3);
   result.allele_str_offsets.push_back(0);
-  for (const auto& entry : alleles) {
-    result.allele_pos.push_back(entry.first.first);
-    const AlleleTally& tally = entry.second;
+
+  auto emit_columns = [&](int64_t pos, const AlleleTally& tally) {
+    result.allele_pos.push_back(pos);
     result.allele_total.push_back(tally.total);
     result.allele_fwd.push_back(tally.fwd);
     result.allele_rev.push_back(tally.rev);
@@ -550,11 +760,126 @@ PileupResult pileup_run(const ReadBatch& batch, const std::string& ref_seq,
     result.allele_rev_hp1.push_back(tally.rev_hp1);
     result.allele_fwd_hp2.push_back(tally.fwd_hp2);
     result.allele_rev_hp2.push_back(tally.rev_hp2);
-    const std::string& candidate = entry.first.second;
-    result.allele_strs.insert(result.allele_strs.end(), candidate.begin(),
-                              candidate.end());
-    result.allele_str_offsets.push_back(
-        static_cast<int64_t>(result.allele_strs.size()));
+    result.allele_str_offsets.push_back(0);  // patched by the blob writer
+  };
+  auto close_blob = [&]() {
+    result.allele_str_offsets.back() =
+        static_cast<int64_t>(result.allele_strs.size());
+  };
+  auto emit_flat = [&](int64_t pos, int code, const AlleleTally& tally) {
+    emit_columns(pos, tally);
+    result.allele_strs.push_back('1');
+    result.allele_strs.push_back(kSnpBases[code]);
+    close_blob();
+  };
+  auto emit_packed = [&](const PackedTally& e) {
+    emit_columns(e.pos, e.tally);
+    const uint64_t type = e.code >> 60;
+    const int64_t len = static_cast<int64_t>((e.code >> 54) & 0x3F);
+    result.allele_strs.push_back(static_cast<char>('0' + type));
+    if (type == 3) {
+      const char* src = ref_seq.data() + e.pos;
+      result.allele_strs.insert(result.allele_strs.end(), src, src + len);
+    } else {
+      for (int64_t i = len - 1; i >= 0; --i)
+        result.allele_strs.push_back(
+            kNibble.chr[(e.code >> (4 * i)) & 0xF]);
+    }
+    close_blob();
+  };
+  auto flat_tally = [&](int64_t i, int code, AlleleTally* out) -> bool {
+    if (hp_mode == 0) {
+      const int32_t fwd = snp_fwd_rev[i * 8 + code * 2];
+      const int32_t rev = snp_fwd_rev[i * 8 + code * 2 + 1];
+      if (fwd + rev == 0) return false;
+      *out = AlleleTally{};
+      out->total = fwd + rev;
+      out->fwd = fwd;
+      out->rev = rev;
+      return true;
+    }
+    const AlleleTally& tally = snp_tallies[i * 4 + code];
+    if (tally.total == 0) return false;
+    *out = tally;
+    return true;
+  };
+  // packed-entry candidate string (spill-position slow path only)
+  auto packed_string = [&](const PackedTally& e) {
+    const uint64_t type = e.code >> 60;
+    const int64_t len = static_cast<int64_t>((e.code >> 54) & 0x3F);
+    std::string cand(1, static_cast<char>('0' + type));
+    if (type == 3) {
+      cand.append(ref_seq, static_cast<size_t>(e.pos),
+                  static_cast<size_t>(len));
+    } else {
+      for (int64_t i = len - 1; i >= 0; --i)
+        cand.push_back(kNibble.chr[(e.code >> (4 * i)) & 0xF]);
+    }
+    return cand;
+  };
+
+  for (int64_t i = 0; i < n_ref; ++i) {
+    const int32_t b0 = bucket_off[i], b1 = bucket_off[i + 1];
+    bool has_spill = false;
+    for (int32_t k = b0; k < b1; ++k)
+      if (order[k] >= static_cast<int32_t>(n_packed)) {
+        has_spill = true;
+        break;
+      }
+    if (!has_spill) {
+      if (b1 - b0 > 1)
+        std::sort(order.begin() + b0, order.begin() + b1,
+                  [&](int32_t a, int32_t b) {
+                    return key1[a] != key1[b] ? key1[a] < key1[b]
+                                              : key2[a] < key2[b];
+                  });
+      // merge the (pre-ordered) flat SNP stream with the packed stream
+      int code = 0;
+      int32_t k = b0;
+      AlleleTally flat;
+      while (code < 4 || k < b1) {
+        const bool take_flat =
+            code < 4 &&
+            (k >= b1 || snp_key1[code] < key1[order[k]]);
+        if (take_flat) {
+          if (flat_tally(i, code, &flat)) emit_flat(i, code, flat);
+          ++code;
+        } else {
+          emit_packed(pe[order[k]]);
+          ++k;
+        }
+      }
+    } else {
+      // slow path: materialize strings for every entry at this position
+      struct SlowEntry {
+        std::string cand;
+        AlleleTally tally;
+      };
+      std::vector<SlowEntry> slow;
+      slow.reserve(b1 - b0 + 4);
+      AlleleTally flat;
+      for (int code = 0; code < 4; ++code)
+        if (flat_tally(i, code, &flat))
+          slow.push_back({std::string("1") + kSnpBases[code], flat});
+      for (int32_t k = b0; k < b1; ++k) {
+        const int32_t idx = order[k];
+        if (idx < static_cast<int32_t>(n_packed))
+          slow.push_back({packed_string(pe[idx]), pe[idx].tally});
+        else
+          slow.push_back({spill[idx - n_packed]->first.second,
+                          spill[idx - n_packed]->second});
+      }
+      std::sort(slow.begin(), slow.end(),
+                [](const SlowEntry& a, const SlowEntry& b) {
+                  return a.cand < b.cand;
+                });
+      for (const SlowEntry& entry : slow) {
+        emit_columns(i, entry.tally);
+        result.allele_strs.insert(result.allele_strs.end(),
+                                  entry.cand.begin(), entry.cand.end());
+        close_blob();
+      }
+    }
   }
   return result;
 }
