@@ -408,6 +408,68 @@ def bench_consensus(num_devices: int, batch: int = 512,
              f"{rate / 1e6:.1f}M positions/s sustained")
 
 
+def bench_polish_images(genome_kb: float = 500, error_model: str = "ont",
+                        repeats: int = 2):
+    """Polish make_images throughput (1 kb windows @ ~40x, realignment on)
+    — the PERFORMANCE.md "Polish make_images" row.
+
+      python bench_pipeline.py polish [kb] [error_model] [repeats]
+    """
+    import numpy as np
+
+    from simulate import random_reference, simulate_reads
+    from pepper_tpu.io.bam import BamReader
+    from pepper_tpu.io.bam_writer import write_bam, write_fasta
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.polish.pipeline import (build_polish_intervals,
+                                            summarize_interval)
+    from pepper_tpu.utils.profiling import log_line
+
+    length = int(genome_kb * 1000)
+    tmp = tempfile.mkdtemp(prefix="pepper_polishbench_")
+    ref = random_reference(length, seed=9)
+    records = simulate_reads(ref, [[]], read_len=5000, stride=125,
+                             error_model=error_model)
+    bam = os.path.join(tmp, "r.bam")
+    fasta = os.path.join(tmp, "d.fa")
+    write_bam(bam, [("d", length)], records)
+    write_fasta(fasta, {"d": ref})
+    aligned = sum(len(r.seq) for r in records)
+    log_line(f"POLISH IMAGES: {genome_kb} kb draft @ ~40x "
+             f"({aligned:,} aligned bases, {error_model})")
+    bam_handler = BamReader(bam)
+    fasta_handler = FastaReader(fasta)
+    intervals = build_polish_intervals([("d", None)], fasta_handler)
+    best = float("inf")
+    n_images = 0
+    for _ in range(repeats):
+        start = time.perf_counter()
+        n_images = 0
+        for contig, lo, hi in intervals:
+            images, _, _, _ = summarize_interval(bam_handler, fasta_handler,
+                                                 contig, lo, hi)
+            n_images += len(images)
+        best = min(best, time.perf_counter() - start)
+    log_line(f"MAKE_IMAGES: {best:.2f} s "
+             f"({aligned / best / 1e6:.2f}M aligned b/s/core), "
+             f"{n_images} images")
+    try:
+        import ctypes
+
+        from pepper_tpu.io.native import get_lib
+
+        lib = get_lib()
+        attempts = ctypes.c_longlong()
+        hits = ctypes.c_longlong()
+        lib.pepper_band_stats(ctypes.byref(attempts), ctypes.byref(hits))
+        if attempts.value:
+            log_line(f"BANDED REALIGN: {hits.value}/{attempts.value} "
+                     "certified in-band")
+    except (OSError, AttributeError):
+        pass
+    return best
+
+
 def bench_windows(genome_mb: float, error_model: str = "ont",
                   repeats: int = 2):
     """Single-core window-generation bench under a realistic error model —
@@ -495,6 +557,11 @@ if __name__ == "__main__":
         bench_vcf_only(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
                        int(sys.argv[3]) if len(sys.argv) > 3
                        else (os.cpu_count() or 4))
+    elif len(sys.argv) > 1 and sys.argv[1] == "polish":
+        bench_polish_images(
+            float(sys.argv[2]) if len(sys.argv) > 2 else 500,
+            sys.argv[3] if len(sys.argv) > 3 else "ont",
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "windows":
         bench_windows(float(sys.argv[2]) if len(sys.argv) > 2 else 3.0,
                       sys.argv[3] if len(sys.argv) > 3 else "ont",

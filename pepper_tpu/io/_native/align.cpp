@@ -6,6 +6,7 @@
 #include <string.h>
 
 #include <algorithm>
+#include <atomic>
 #include <vector>
 
 #ifdef __SSE2__
@@ -258,6 +259,9 @@ struct Sse2Ops {
   }
   // shift up by one query element (lane 0 receives 0)
   static V shift_one(V v) { return _mm_slli_si128(v, 2); }
+  // shift down by one element (last lane receives 0) — banded engine deps
+  static V shift_one_down(V v) { return _mm_srli_si128(v, 2); }
+  static V insert_last(V v, int16_t x) { return _mm_insert_epi16(v, x, 7); }
   static void stream(int16_t* p, V v) {
     _mm_stream_si128(reinterpret_cast<__m128i*>(p), v);
   }
@@ -293,6 +297,14 @@ struct Avx2Ops {
   static V shift_one(V v) {
     const V carry = _mm256_permute2x128_si256(v, v, 0x08);
     return _mm256_alignr_epi8(v, carry, 14);
+  }
+  // one-element down-shift: [v1..v15, 0] (carry-in register [v_hi, zero])
+  static V shift_one_down(V v) {
+    const V carry = _mm256_permute2x128_si256(v, v, 0x81);
+    return _mm256_alignr_epi8(carry, v, 2);
+  }
+  static V insert_last(V v, int16_t x) {
+    return _mm256_insert_epi16(v, x, 15);
   }
   static void stream(int16_t* p, V v) {
     _mm256_stream_si256(reinterpret_cast<__m256i*>(p), v);
@@ -530,6 +542,317 @@ AlignmentResult smith_waterman_striped(const std::string& target,
 #endif
 }
 
+// ---------------- banded engine (diagonal coordinates) ----------------
+//
+// Realigned reads come from a mapped BAM, so the expected diagonal is
+// known per read (d0 = mapped offset of the query start in the target,
+// the reference's own fast-pass idea — aligner.cpp:71-120 tries the
+// cheap aligned-first hypothesis before the expensive fallback).  The DP
+// is restricted to band rows k in [0, band), where element k tracks the
+// matrix diagonal i - j + d0 + band/2 == k.  In these coordinates the
+// recurrences become column-local:
+//   diag H(i-1,j-1)  -> same element k, previous column
+//   E    (i,  j-1)   -> element k+1,  previous column (one down-shift)
+//   F    (i-1,j)     -> element k-1,  same column — the same
+//                       prefix-max-of-(H0 + k*ext) scan as the striped
+//                       engine (gap_open >= gap_extend lemma unchanged)
+// The query character of element k shifts down one element per column
+// (one new char enters at the band bottom).  Rows outside [1, m] are
+// phantoms: i < 1 behaves exactly like the scalar boundary (H == 0 falls
+// out of the recurrence with the -1 padding code), i > m is masked to an
+// exact 0 so it can never contribute a score or reach the best tracker.
+// Out-of-band dependencies are truncated (H -> 0, E -> -inf): every path
+// the band accounts is a real path, so banded H <= true H cell-wise while
+// being exact for any path that stays in the band.
+//
+// EXACTNESS GATE.  Any alignment path that touches a cell outside the
+// band has score <= U = ms * max(m + d0 - band/2, n - d0 - band/2 - 1)
+// (a path through out-of-band cell (i,j) scores at most
+// ms * [min(i,j) + min(m-i, n-j)] <= ms * min(n + (i-j), m - (i-j)),
+// maximized at the band boundary).  If banded_best > U, every global
+// maximum lies in-band with banded H equal to true H at each maximum, so
+// the banded score, best cell AND tie-breaking provably equal the full
+// DP's.  The traceback additionally requires the whole replayed path to
+// stay >= 1 element away from the band edges (so every compared neighbor
+// is in-band).  Any gate failure returns false and the caller runs the
+// full engine.  Residual risk: an equal-score CIGAR tie decided through
+// a cell whose banded value underestimates a just-outside-band prefix is
+// theoretically possible; the 800-case dual-engine fuzz plus the polish
+// FASTA byte-equality suites guard it empirically (PEPPER_NO_BAND=1
+// forces the full engine).
+constexpr int16_t kBandNegInf = -20000;
+
+// banded-path observability: attempts vs certified successes (fallbacks =
+// attempts - hits); exported via pepper_band_stats for diagnostics/bench
+std::atomic<long long> g_band_attempts{0}, g_band_hits{0};
+
+template <typename Ops>
+bool smith_waterman_banded_impl(const std::string& target,
+                                const std::string& query, int match_score,
+                                int mismatch_penalty, int gap_open_penalty,
+                                int gap_extend_penalty, int64_t d0,
+                                int64_t band, AlignmentResult* out) {
+  using V = typename Ops::V;
+  const int64_t n = static_cast<int64_t>(target.size());
+  const int64_t m = static_cast<int64_t>(query.size());
+  const int64_t lanes = Ops::kLanes;
+  const int64_t seg_len = band / lanes;
+  const int64_t half = band / 2;
+
+  const V v_gap_open = Ops::set1(static_cast<int16_t>(gap_open_penalty));
+  const V v_gap_ext = Ops::set1(static_cast<int16_t>(gap_extend_penalty));
+  const V v_match = Ops::set1(static_cast<int16_t>(match_score));
+  const V v_mism = Ops::set1(static_cast<int16_t>(-mismatch_penalty));
+  const V v_zero = Ops::zero();
+  // -inf injected at the vacated last lane of a down-shift (out-of-band E)
+  alignas(32) int16_t fill_buf[Ops::kLanes] = {};
+  fill_buf[Ops::kLanes - 1] = kBandNegInf;
+  const V v_last_neg = Ops::load(fill_buf);
+
+  // per-element band indices and derived constants
+  std::vector<V> v_kidx(seg_len), v_open_decay(seg_len), v_kext(seg_len);
+  std::vector<V> v_qcode(seg_len);
+  {
+    alignas(32) int16_t buf[Ops::kLanes];
+    for (int64_t s = 0; s < seg_len; ++s) {
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t k = l * seg_len + s;
+        buf[l] = static_cast<int16_t>(k);
+      }
+      v_kidx[s] = Ops::load(buf);
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t k = l * seg_len + s;
+        buf[l] = static_cast<int16_t>((k - 1) * gap_extend_penalty +
+                                      gap_open_penalty);
+      }
+      v_open_decay[s] = Ops::load(buf);
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t k = l * seg_len + s;
+        buf[l] = static_cast<int16_t>(k * gap_extend_penalty);
+      }
+      v_kext[s] = Ops::load(buf);
+      // query codes for the j == 0 state: element k holds row
+      // i(0, k) = -d0 - half + k (out-of-range rows pad with -1)
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int64_t i0 = -d0 - half + (l * seg_len + s);
+        buf[l] = (i0 >= 1 && i0 <= m)
+                     ? static_cast<int16_t>(
+                           static_cast<unsigned char>(query[i0 - 1]))
+                     : static_cast<int16_t>(-1);
+      }
+      v_qcode[s] = Ops::load(buf);
+    }
+  }
+
+  std::vector<V> h_prev(seg_len, v_zero), e_prev(seg_len, v_zero);
+  std::vector<V> h_new(seg_len), e_new(seg_len), diag(seg_len),
+      pref(seg_len);
+  std::vector<V> v_best(seg_len, v_zero), v_best_j(seg_len, v_zero);
+
+  static thread_local std::vector<int16_t> tl_band_h;
+  static thread_local std::vector<uint32_t> tl_band_bits;
+  const size_t plane_elems = static_cast<size_t>(n) * band;
+  int16_t* h_plane = aligned_plane(tl_band_h, plane_elems);
+  uint32_t* bit_plane =
+      aligned_plane(tl_band_bits, static_cast<size_t>(n) * seg_len);
+
+  for (int64_t j = 1; j <= n; ++j) {
+    // shift the query-code window down one element; the band-bottom
+    // element (k = band-1) receives the newly entering row
+    {
+      const V q0 = v_qcode[0];
+      for (int64_t s = 0; s + 1 < seg_len; ++s) v_qcode[s] = v_qcode[s + 1];
+      const int64_t i_bot = j - d0 - half + band - 1;
+      const int16_t c_bot =
+          (i_bot >= 1 && i_bot <= m)
+              ? static_cast<int16_t>(
+                    static_cast<unsigned char>(query[i_bot - 1]))
+              : static_cast<int16_t>(-1);
+      v_qcode[seg_len - 1] =
+          Ops::insert_last(Ops::shift_one_down(q0), c_bot);
+    }
+    const V h_dep_last = Ops::shift_one_down(h_prev[0]);  // out-of-band: 0
+    const V e_dep_last =
+        Ops::add(Ops::shift_one_down(e_prev[0]), v_last_neg);
+
+    const V v_tc = Ops::set1(static_cast<int16_t>(
+        static_cast<unsigned char>(target[j - 1])));
+    int16_t* h_col = h_plane + (j - 1) * band;
+    uint32_t* bit_col = bit_plane + (j - 1) * seg_len;
+
+    // pass 1: E, diag, H0, in-lane inclusive G prefix
+    for (int64_t s = 0; s < seg_len; ++s) {
+      const V h_dep = (s + 1 < seg_len) ? h_prev[s + 1] : h_dep_last;
+      const V e_dep = (s + 1 < seg_len) ? e_prev[s + 1] : e_dep_last;
+      e_new[s] = Ops::max(Ops::sub(e_dep, v_gap_ext),
+                          Ops::sub(h_dep, v_gap_open));
+      const V eq = Ops::cmpeq(v_qcode[s], v_tc);
+      diag[s] = Ops::add(h_prev[s], Ops::blend(v_mism, v_match, eq));
+      const V h0 = Ops::max(Ops::max(diag[s], e_new[s]), v_zero);
+      h_new[s] = h0;
+      const V g = Ops::add(h0, v_kext[s]);
+      pref[s] = s == 0 ? g : Ops::max(pref[s - 1], g);
+    }
+    // cross-lane exclusive carry; above-band is out-of-band -> -inf
+    alignas(32) int16_t totals[Ops::kLanes], carries[Ops::kLanes];
+    Ops::store(totals, pref[seg_len - 1]);
+    int16_t running = kBandNegInf;
+    for (int64_t l = 0; l < lanes; ++l) {
+      carries[l] = running;
+      running = std::max(running, totals[l]);
+    }
+    const V v_carry = Ops::load(carries);
+
+    // pass 2: F, final H, i > m masking, plane stores, best tracking
+    const int64_t k_lim = m + d0 + half - j;  // largest k with i(j,k) <= m
+    const V v_klim = Ops::set1(static_cast<int16_t>(
+        std::max<int64_t>(-1, std::min<int64_t>(k_lim, 32000))));
+    const V v_j = Ops::set1(static_cast<int16_t>(j));
+    for (int64_t s = 0; s < seg_len; ++s) {
+      const V excl = s == 0 ? v_carry : Ops::max(v_carry, pref[s - 1]);
+      const V f_scan = Ops::sub(excl, v_open_decay[s]);
+      V h_final = Ops::max(h_new[s], f_scan);
+      const V invalid = Ops::cmpgt(v_kidx[s], v_klim);
+      h_final = Ops::blend(h_final, v_zero, invalid);
+      Ops::stream(h_col + s * lanes, h_final);
+      bit_col[s] = Ops::eq_mask(e_new[s], h_final);
+      h_new[s] = h_final;
+      const V better = Ops::cmpgt(h_final, v_best[s]);
+      v_best[s] = Ops::max(v_best[s], h_final);
+      v_best_j[s] = Ops::blend(v_best_j[s], v_j, better);
+    }
+    h_prev.swap(h_new);
+    e_prev.swap(e_new);
+  }
+  _mm_sfence();
+
+  const auto release_oversized = [&]() {
+    if (plane_elems > kPlaneReuseCap) {
+      tl_band_h.clear();
+      tl_band_h.shrink_to_fit();
+      tl_band_bits.clear();
+      tl_band_bits.shrink_to_fit();
+    }
+  };
+
+  // global best with the scalar's row-major (i, j) tie-breaking: each
+  // element's tracked j is its earliest maximum (strict-improvement
+  // blending), which on a fixed diagonal is also its earliest i
+  int32_t best = 0;
+  int64_t best_i = -1, best_j = -1;
+  {
+    alignas(32) int16_t b[Ops::kLanes], bj[Ops::kLanes];
+    for (int64_t s = 0; s < seg_len; ++s) {
+      Ops::store(b, v_best[s]);
+      Ops::store(bj, v_best_j[s]);
+      for (int64_t l = 0; l < lanes; ++l) {
+        const int32_t score = b[l];
+        if (score < best) continue;
+        const int64_t k = l * seg_len + s;
+        const int64_t jj = bj[l];
+        const int64_t ii = jj - d0 - half + k;
+        if (score > best ||
+            (score == best && (ii < best_i ||
+                               (ii == best_i && jj < best_j)))) {
+          best = score;
+          best_i = ii;
+          best_j = jj;
+        }
+      }
+    }
+  }
+
+  // gate A: certify that no out-of-band path can reach the banded best
+  const int64_t u_bound =
+      static_cast<int64_t>(match_score) *
+      std::max<int64_t>(m + d0 - half, n - d0 - half - 1);
+  if (best <= u_bound || best <= 0) {
+    release_oversized();
+    return false;
+  }
+
+  // traceback (the striped engine's exact replay), gated to stay one
+  // element inside the band so every compared neighbor is in-band
+  const auto k_of = [&](int64_t i, int64_t jj) { return i - jj + d0 + half; };
+  const auto h_at = [&](int64_t i, int64_t jj) -> int32_t {
+    if (i < 1 || jj < 1) return 0;
+    const int64_t k = k_of(i, jj);
+    return h_plane[(jj - 1) * band + (k % seg_len) * lanes + (k / seg_len)];
+  };
+  const auto left_bit = [&](int64_t i, int64_t jj) -> bool {
+    const int64_t k = k_of(i, jj);
+    return (bit_plane[(jj - 1) * seg_len + (k % seg_len)] >>
+            (2 * (k / seg_len))) & 1;
+  };
+  const auto interior = [&](int64_t i, int64_t jj) {
+    const int64_t k = k_of(i, jj);
+    return k >= 1 && k <= band - 2;
+  };
+
+  const int gap_open = gap_open_penalty;
+  const int gap_ext = gap_extend_penalty;
+  std::string ops;
+  int64_t i = best_i, j = best_j;
+  if (!interior(i, j)) {
+    release_oversized();
+    return false;
+  }
+  out->best_score = best;
+  out->ref_end = best_j - 1;
+  out->query_end = best_i - 1;
+  while (i > 0 && j > 0) {
+    if (!interior(i, j)) {
+      release_oversized();
+      return false;
+    }
+    const int32_t h = h_at(i, j);
+    if (h == 0) break;
+    const int32_t diag_v =
+        h_at(i - 1, j - 1) +
+        (query[i - 1] == target[j - 1] ? match_score : -mismatch_penalty);
+    if (h == diag_v) {
+      ops.push_back(query[i - 1] == target[j - 1] ? '=' : 'X');
+      --i;
+      --j;
+    } else if (left_bit(i, j)) {
+      int32_t e_val = h;
+      while (j > 0 && e_val > h_at(i, j - 1) - gap_open) {
+        ops.push_back('D');
+        --j;
+        e_val += gap_ext;
+        if (j > 0 && !interior(i, j)) {
+          release_oversized();
+          return false;
+        }
+      }
+      if (j > 0) {
+        ops.push_back('D');
+        --j;
+      }
+    } else {
+      int32_t f_val = h;
+      while (i > 0 && f_val > h_at(i - 1, j) - gap_open) {
+        ops.push_back('I');
+        --i;
+        f_val += gap_ext;
+        if (i > 0 && !interior(i, j)) {
+          release_oversized();
+          return false;
+        }
+      }
+      if (i > 0) {
+        ops.push_back('I');
+        --i;
+      }
+    }
+  }
+  out->ref_begin = j;
+  out->query_begin = i;
+  out->cigar = build_cigar(ops, out->query_begin, out->query_end, m);
+  release_oversized();
+  return true;
+}
+
 }  // namespace
 
 AlignmentResult smith_waterman_striped_narrow(const std::string& target,
@@ -557,49 +880,63 @@ AlignmentResult smith_waterman_striped_narrow(const std::string& target,
 
 #endif  // __SSE2__
 
+namespace {
+
+// Perfect-match fast path (the sound core of the reference's own
+// fast-pass idea, aligner.cpp:71-120): a full-length exact occurrence
+// of the query that is UNIQUE in the target is provably the unique
+// optimum — any local alignment scores <= match*m with equality only
+// for a full-length penalty-free (i.e. exact) occurrence, and
+// uniqueness satisfies the engines' first-maximal-cell tie-break.
+// Skips the O(n*m) DP entirely; mismatched/gapped reads (any real
+// error process) fall through to the full engines.
+bool try_perfect_match(const std::string& target, const std::string& query,
+                       int match_score, int mismatch_penalty,
+                       int gap_open_penalty, int gap_extend_penalty,
+                       AlignmentResult* out) {
+  const int64_t n = static_cast<int64_t>(target.size());
+  const int64_t m = static_cast<int64_t>(query.size());
+  // Require a strictly positive 1-base gap cost (open+extend > 0):
+  // with free gaps a non-contiguous alignment can also reach match*m,
+  // so the exact occurrence would no longer be the *unique* optimum
+  // and the DP engines' first-maximal-cell tie-break could disagree.
+  if (m > 0 && n >= m && match_score > 0 && mismatch_penalty >= 0 &&
+      gap_open_penalty >= 0 && gap_extend_penalty >= 0 &&
+      gap_open_penalty + gap_extend_penalty > 0 &&
+      static_cast<int64_t>(match_score) * m <= 2000000000LL) {
+    const char* base = target.data();
+    const void* hit = memmem(base, n, query.data(), m);
+    if (hit != nullptr) {
+      const int64_t off = static_cast<const char*>(hit) - base;
+      const void* second =
+          (off + 1 <= n - m)
+              ? memmem(base + off + 1, n - off - 1, query.data(), m)
+              : nullptr;
+      if (second == nullptr) {
+        out->best_score = static_cast<int>(match_score * m);
+        out->ref_begin = off;
+        out->ref_end = off + m - 1;
+        out->query_begin = 0;
+        out->query_end = m - 1;
+        out->cigar = std::to_string(m) + "=";
+        return true;
+      }
+    }
+  }
+  return false;
+}
+
+}  // namespace
+
 AlignmentResult smith_waterman(const std::string& target,
                                const std::string& query, int match_score,
                                int mismatch_penalty, int gap_open_penalty,
                                int gap_extend_penalty) {
-  // Perfect-match fast path (the sound core of the reference's own
-  // fast-pass idea, aligner.cpp:71-120): a full-length exact occurrence
-  // of the query that is UNIQUE in the target is provably the unique
-  // optimum — any local alignment scores <= match*m with equality only
-  // for a full-length penalty-free (i.e. exact) occurrence, and
-  // uniqueness satisfies the engines' first-maximal-cell tie-break.
-  // Skips the O(n*m) DP entirely; mismatched/gapped reads (any real
-  // error process) fall through to the full engines.
   {
-    const int64_t n = static_cast<int64_t>(target.size());
-    const int64_t m = static_cast<int64_t>(query.size());
-    // Require a strictly positive 1-base gap cost (open+extend > 0):
-    // with free gaps a non-contiguous alignment can also reach match*m,
-    // so the exact occurrence would no longer be the *unique* optimum
-    // and the DP engines' first-maximal-cell tie-break could disagree.
-    if (m > 0 && n >= m && match_score > 0 && mismatch_penalty >= 0 &&
-        gap_open_penalty >= 0 && gap_extend_penalty >= 0 &&
-        gap_open_penalty + gap_extend_penalty > 0 &&
-        static_cast<int64_t>(match_score) * m <= 2000000000LL) {
-      const char* base = target.data();
-      const void* hit = memmem(base, n, query.data(), m);
-      if (hit != nullptr) {
-        const int64_t off = static_cast<const char*>(hit) - base;
-        const void* second =
-            (off + 1 <= n - m)
-                ? memmem(base + off + 1, n - off - 1, query.data(), m)
-                : nullptr;
-        if (second == nullptr) {
-          AlignmentResult result;
-          result.best_score = static_cast<int>(match_score * m);
-          result.ref_begin = off;
-          result.ref_end = off + m - 1;
-          result.query_begin = 0;
-          result.query_end = m - 1;
-          result.cigar = std::to_string(m) + "=";
-          return result;
-        }
-      }
-    }
+    AlignmentResult pm;
+    if (try_perfect_match(target, query, match_score, mismatch_penalty,
+                          gap_open_penalty, gap_extend_penalty, &pm))
+      return pm;
   }
 #ifdef __SSE2__
   const int64_t n = static_cast<int64_t>(target.size());
@@ -630,4 +967,72 @@ AlignmentResult smith_waterman(const std::string& target,
 #endif
   return smith_waterman_scalar(target, query, match_score, mismatch_penalty,
                                gap_open_penalty, gap_extend_penalty);
+}
+
+AlignmentResult smith_waterman_hint(const std::string& target,
+                                    const std::string& query,
+                                    int match_score, int mismatch_penalty,
+                                    int gap_open_penalty,
+                                    int gap_extend_penalty,
+                                    int64_t expected_offset) {
+  {
+    AlignmentResult pm;
+    if (try_perfect_match(target, query, match_score, mismatch_penalty,
+                          gap_open_penalty, gap_extend_penalty, &pm))
+      return pm;
+  }
+#ifdef __SSE2__
+  const int64_t n = static_cast<int64_t>(target.size());
+  const int64_t m = static_cast<int64_t>(query.size());
+  const int64_t max_h =
+      static_cast<int64_t>(match_score) * std::min(m, n);
+  constexpr int64_t kBand = 320;  // see the banded-engine gate analysis
+  // Certification precheck: the gate can only pass when the out-of-band
+  // score bound U sits below the best score a real (error-carrying) read
+  // can reach, which requires the band to cover essentially every
+  // placement able to use the full query — i.e. m close to n with a
+  // small expected offset (window-spanning reads, the bulk of the DP
+  // cells in the polish realign stage).  Reads clipped well inside the
+  // window can never certify (a distant placement could use all m bases),
+  // so skip the banded attempt instead of paying banded + full.
+  const int64_t cert_margin = m / 16;  // ~6% score-deficit allowance
+  const bool certifiable =
+      m + expected_offset - kBand / 2 <= std::min(m, n) - cert_margin &&
+      n - expected_offset - kBand / 2 - 1 <= std::min(m, n) - cert_margin;
+  // banded is worthwhile only when the band is well under the query, and
+  // it requires the same int16 guards as the striped engine
+  if (certifiable && expected_offset >= 0 && expected_offset <= n &&
+      m >= kBand + 256 &&
+      m > 0 && n > 0 && gap_open_penalty >= gap_extend_penalty &&
+      gap_extend_penalty >= 1 && mismatch_penalty >= 0 &&
+      mismatch_penalty <= 30000 && match_score >= 1 &&
+      match_score <= 30000 && gap_open_penalty <= 30000 && n <= 30000 &&
+      max_h + gap_extend_penalty * m <= 30000 &&
+      gap_extend_penalty * n + gap_open_penalty <= 30000 &&
+      max_h <= 30000) {
+    AlignmentResult banded;
+    g_band_attempts.fetch_add(1, std::memory_order_relaxed);
+#ifdef __AVX2__
+    const bool ok = smith_waterman_banded_impl<Avx2Ops>(
+        target, query, match_score, mismatch_penalty, gap_open_penalty,
+        gap_extend_penalty, expected_offset, kBand, &banded);
+#else
+    const bool ok = smith_waterman_banded_impl<Sse2Ops>(
+        target, query, match_score, mismatch_penalty, gap_open_penalty,
+        gap_extend_penalty, expected_offset, kBand, &banded);
+#endif
+    if (ok) {
+      g_band_hits.fetch_add(1, std::memory_order_relaxed);
+      return banded;
+    }
+  }
+#endif
+  return smith_waterman(target, query, match_score, mismatch_penalty,
+                        gap_open_penalty, gap_extend_penalty);
+}
+
+// exported via capi.cpp: banded attempts / certified hits since load
+void pepper_band_stats_impl(long long* attempts, long long* hits) {
+  *attempts = g_band_attempts.load(std::memory_order_relaxed);
+  *hits = g_band_hits.load(std::memory_order_relaxed);
 }

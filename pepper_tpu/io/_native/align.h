@@ -23,6 +23,20 @@ AlignmentResult smith_waterman(const std::string& target,
                                int mismatch_penalty, int gap_open_penalty,
                                int gap_extend_penalty);
 
+// Auto-dispatch with a per-read diagonal hint (the query's expected
+// offset in the target, e.g. a realigned read's original mapped offset):
+// tries a certified-exact banded DP first (provable global-optimality
+// gate + in-band traceback, ~2.7x fewer cells at 1 kb scale) and falls
+// back to the full engines whenever the certificate fails.  Results are
+// identical to smith_waterman() whenever the banded path is taken
+// (fuzz-asserted in tests/test_align.py / tests/test_polish.py).
+AlignmentResult smith_waterman_hint(const std::string& target,
+                                    const std::string& query,
+                                    int match_score, int mismatch_penalty,
+                                    int gap_open_penalty,
+                                    int gap_extend_penalty,
+                                    int64_t expected_offset);
+
 // The scalar golden engine (always available; used for parity fuzzing).
 AlignmentResult smith_waterman_scalar(const std::string& target,
                                       const std::string& query,
@@ -40,3 +54,7 @@ AlignmentResult smith_waterman_striped_narrow(const std::string& target,
                                               int mismatch_penalty,
                                               int gap_open_penalty,
                                               int gap_extend_penalty);
+
+// Banded-path observability: cumulative certified-banded attempts and
+// successes since library load (fallbacks = attempts - hits).
+void pepper_band_stats_impl(long long* attempts, long long* hits);

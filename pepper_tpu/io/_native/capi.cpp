@@ -1,4 +1,5 @@
 // C ABI surface consumed by pepper_tpu.io.native via ctypes.
+#include <cstdlib>
 #include <cstring>
 #include <string>
 
@@ -128,17 +129,26 @@ long long pepper_align_batch(
     const unsigned char* seq, long long n_reads, int match_score,
     int mismatch_penalty, int gap_open, int gap_ext, long long* out_pos,
     long long* out_ref_span, unsigned char* out_ops, int* out_lens,
-    long long* out_cigar_offsets, long long ops_cap) {
+    long long* out_cigar_offsets, long long ops_cap,
+    const long long* exp_offsets) {
   const std::string target_str(target, static_cast<size_t>(target_len));
+  // exp_offsets (optional): per-read expected target offset — the mapped
+  // position the read came from — enabling the certified banded DP;
+  // PEPPER_NO_BAND=1 forces the full engines (A/B kill switch)
+  const bool use_hint =
+      exp_offsets != nullptr && getenv("PEPPER_NO_BAND") == nullptr;
   long long n_ops = 0;
   out_cigar_offsets[0] = 0;
   for (long long r = 0; r < n_reads; ++r) {
     const long long s = seq_offsets[r], e = seq_offsets[r + 1];
     const std::string query(reinterpret_cast<const char*>(seq + s),
                             static_cast<size_t>(e - s));
-    AlignmentResult res = smith_waterman(target_str, query, match_score,
-                                         mismatch_penalty, gap_open,
-                                         gap_ext);
+    AlignmentResult res =
+        use_hint ? smith_waterman_hint(target_str, query, match_score,
+                                       mismatch_penalty, gap_open, gap_ext,
+                                       exp_offsets[r])
+                 : smith_waterman(target_str, query, match_score,
+                                  mismatch_penalty, gap_open, gap_ext);
     if (res.best_score <= 0) {
       out_pos[r] = -1;
       out_ref_span[r] = 0;
@@ -180,6 +190,10 @@ long long pepper_align_batch(
 }
 
 void pepper_align_free(void* a) { delete static_cast<AlignmentResult*>(a); }
+
+void pepper_band_stats(long long* attempts, long long* hits) {
+  pepper_band_stats_impl(attempts, hits);
+}
 
 int pepper_align_score(void* a) {
   return static_cast<AlignmentResult*>(a)->best_score;

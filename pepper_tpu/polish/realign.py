@@ -49,7 +49,8 @@ def _get_batch_align():
                 c.POINTER(c.c_ubyte), c.c_longlong, c.c_int, c.c_int,
                 c.c_int, c.c_int, c.POINTER(c.c_longlong),
                 c.POINTER(c.c_longlong), c.POINTER(c.c_ubyte),
-                c.POINTER(c.c_int), c.POINTER(c.c_longlong), c.c_longlong]
+                c.POINTER(c.c_int), c.POINTER(c.c_longlong), c.c_longlong,
+                c.POINTER(c.c_longlong)]
             _batch_align_fn = fn
         except (OSError, AttributeError):
             _batch_align_fn = False
@@ -94,12 +95,19 @@ def realign_reads(batch: ReadBatch, reference_sequence: str,
         return array.ctypes.data_as(c.POINTER(ctype))
 
     target = reference_sequence.encode()
+    # expected per-read diagonal: the read's original mapped offset in the
+    # window — enables the certified banded DP inside the native batch
+    # (smith_waterman_hint; identical output, fuzz-asserted)
+    exp_offsets = np.ascontiguousarray(
+        np.clip(np.asarray(batch.pos, np.int64) - ref_start, 0,
+                len(target)), np.int64)
     n_ops = fn(target, len(target), ptr(seq_offsets, c.c_longlong),
                ptr(seq, c.c_ubyte), n, match_score, mismatch_penalty,
                gap_open_penalty, gap_extend_penalty,
                ptr(out_pos, c.c_longlong), ptr(out_span, c.c_longlong),
                ptr(out_ops, c.c_ubyte), ptr(out_lens, c.c_int),
-               ptr(out_offsets, c.c_longlong), ops_cap)
+               ptr(out_offsets, c.c_longlong), ops_cap,
+               ptr(exp_offsets, c.c_longlong))
     if n_ops < 0:
         return _realign_reads_py(batch, reference_sequence, ref_start,
                                  ref_end, match_score, mismatch_penalty,

@@ -446,3 +446,103 @@ def test_batched_realign_matches_python_engine():
                 getattr(native, attr), getattr(python, attr),
                 err_msg=f"{trial}:{attr}")
         assert native.names == python.names
+
+
+def test_banded_realign_matches_full_engines_on_spanning_reads():
+    """Window-spanning reads (the certified banded DP's target regime):
+    banded default == PEPPER_NO_BAND full engine == Python golden, incl.
+    repeat-heavy targets where a mid-band decoy exists."""
+    import os
+
+    from pepper_tpu.io.bam import ReadBatch
+    from pepper_tpu.polish.realign import _realign_reads_py, realign_reads
+
+    rng = np.random.RandomState(71)
+
+    def random_target(kind):
+        if kind == 0:  # plain random
+            return "".join("ACGT"[i] for i in rng.randint(0, 4, 1040))
+        if kind == 1:  # tandem-repeat rich (decoy diagonals)
+            parts = []
+            while sum(len(p) for p in parts) < 1040:
+                unit = "".join("ACGT"[i] for i in rng.randint(0, 4, 3))
+                parts.append(unit * int(rng.randint(4, 30)))
+            return "".join(parts)[:1040]
+        # long duplicated block: the same 400-mer twice
+        block = "".join("ACGT"[i] for i in rng.randint(0, 4, 400))
+        tail = "".join("ACGT"[i] for i in rng.randint(0, 4, 240))
+        return block + block + tail
+
+    def make_spanning_batch(target, n_reads):
+        pos, pos_end, seqs = [], [], []
+        seq_offsets, cigar_offsets, all_ops, all_lens = [0], [0], [], []
+        for _ in range(n_reads):
+            start = int(rng.randint(0, 30))
+            length = len(target) - start - int(rng.randint(0, 30))
+            s = list(target[start:start + length])
+            for _ in range(rng.randint(10, 60)):  # ~1-6% ONT-like errors
+                k = rng.randint(0, len(s))
+                op = rng.randint(3)
+                if op == 0:
+                    s[k] = "ACGT"[rng.randint(4)]
+                elif op == 1:
+                    s.insert(k, "ACGT"[rng.randint(4)])
+                elif len(s) > 600:
+                    del s[k]
+            read = "".join(s)
+            pos.append(start)
+            pos_end.append(start + len(read))
+            seqs.append(np.frombuffer(read.encode(), np.uint8))
+            seq_offsets.append(seq_offsets[-1] + len(read))
+            cigar_offsets.append(cigar_offsets[-1] + 1)
+            all_ops.append(0)
+            all_lens.append(len(read))
+        return ReadBatch(
+            pos=np.asarray(pos, np.int64),
+            pos_end=np.asarray(pos_end, np.int64),
+            mapq=np.full(n_reads, 60, np.int32),
+            flag=np.zeros(n_reads, np.int32),
+            hp=np.zeros(n_reads, np.int32),
+            seq_offsets=np.asarray(seq_offsets, np.int64),
+            seq=np.concatenate(seqs),
+            qual=np.full(int(seq_offsets[-1]), 30, np.uint8),
+            cigar_offsets=np.asarray(cigar_offsets, np.int64),
+            cigar_ops=np.asarray(all_ops, np.uint8),
+            cigar_lens=np.asarray(all_lens, np.int32),
+            names=[f"s{k}" for k in range(n_reads)])
+
+    import ctypes
+
+    from pepper_tpu.io.native import get_lib
+
+    def band_hits():
+        attempts = ctypes.c_longlong()
+        hits = ctypes.c_longlong()
+        get_lib().pepper_band_stats(ctypes.byref(attempts),
+                                    ctypes.byref(hits))
+        return hits.value
+
+    assert os.environ.get("PEPPER_PY_REALIGN") != "1"
+    assert os.environ.get("PEPPER_NO_BAND") is None
+    hits_before = band_hits()
+    for trial in range(9):
+        target = random_target(trial % 3)
+        batch = make_spanning_batch(target, int(rng.randint(3, 10)))
+        banded = realign_reads(batch, target, 0, len(target) - 1)
+        os.environ["PEPPER_NO_BAND"] = "1"
+        try:
+            full = realign_reads(batch, target, 0, len(target) - 1)
+        finally:
+            del os.environ["PEPPER_NO_BAND"]
+        python = _realign_reads_py(batch, target, 0, len(target) - 1)
+        for attr in ("pos", "pos_end", "seq_offsets", "seq",
+                     "cigar_offsets", "cigar_ops", "cigar_lens"):
+            np.testing.assert_array_equal(
+                getattr(banded, attr), getattr(full, attr),
+                err_msg=f"banded-vs-full {trial}:{attr}")
+            np.testing.assert_array_equal(
+                getattr(banded, attr), getattr(python, attr),
+                err_msg=f"banded-vs-python {trial}:{attr}")
+    # the banded path must actually have certified some of these reads —
+    # otherwise this test silently degrades to full-vs-full
+    assert band_hits() > hits_before
