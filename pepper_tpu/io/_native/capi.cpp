@@ -246,7 +246,8 @@ long long pepper_emit_windows(
     const int* allele_fwd, const int* allele_rev, double support_threshold,
     double snp_freq_threshold, double indel_freq_threshold, int skip_indels,
     signed char* out_images, int* out_position_k, long long* out_allele_index,
-    int* out_freq, long long out_cap) {
+    int* out_freq, long long out_cap, int hp_mode,
+    const int* allele_fwd_hp2, const int* allele_rev_hp2) {
   return emit_candidate_windows(
       reinterpret_cast<const int8_t*>(image), features, region_size,
       window_size, n_positions,
@@ -262,7 +263,9 @@ long long pepper_emit_windows(
       reinterpret_cast<int8_t*>(out_images),
       reinterpret_cast<int32_t*>(out_position_k),
       reinterpret_cast<int64_t*>(out_allele_index),
-      reinterpret_cast<int32_t*>(out_freq), out_cap);
+      reinterpret_cast<int32_t*>(out_freq), out_cap, hp_mode,
+      reinterpret_cast<const int32_t*>(allele_fwd_hp2),
+      reinterpret_cast<const int32_t*>(allele_rev_hp2));
 }
 
 // ---------------- Pileup ----------------

@@ -1067,7 +1067,8 @@ long long emit_candidate_windows(
     const int32_t* allele_rev, double support_threshold,
     double snp_freq_threshold, double indel_freq_threshold, int skip_indels,
     int8_t* out_images, int32_t* out_position_k, int64_t* out_allele_index,
-    int32_t* out_freq, int64_t out_cap) {
+    int32_t* out_freq, int64_t out_cap, int hp_mode,
+    const int32_t* allele_fwd_hp2, const int32_t* allele_rev_hp2) {
   const int rows_per_window = window_size + 1;
   const int half = window_size / 2;
   long long n_out = 0;
@@ -1110,7 +1111,35 @@ long long emit_candidate_windows(
       const uint8_t rb = ref_base[k];
       const int32_t depth_fwd = allele_fwd[i];
       const int32_t depth_rev = allele_rev[i];
-      if (type_digit == '1') {
+      if (hp_mode) {
+        // 48-channel HP mid-row (region_summary_hp.cpp:763-830 /
+        // ops/pileup_hp.py window loop): per-haplotype depth columns,
+        // positive values, no observation-cell negation, no deletion-run
+        // star rows.  allele_fwd/rev carry the hp1 tallies here.
+        const int32_t fwd_hp2 = allele_fwd_hp2[i];
+        const int32_t rev_hp2 = allele_rev_hp2[i];
+        if (type_digit == '1') {
+          const uint8_t alt =
+              cand_len > 1 ? static_cast<uint8_t>(cand[1]) : 0;
+          mid[1] = static_cast<int8_t>(window_ref_feature_value(alt));
+          mid[5] = clamp_color_i8(depth_fwd);
+          mid[27] = clamp_color_i8(fwd_hp2);
+          mid[16] = clamp_color_i8(depth_rev);
+          mid[38] = clamp_color_i8(rev_hp2);
+        } else if (type_digit == '2') {
+          mid[2] = clamp_color_i8(cand_len - 1);
+          mid[6] = clamp_color_i8(depth_fwd);
+          mid[28] = clamp_color_i8(fwd_hp2);
+          mid[17] = clamp_color_i8(depth_rev);
+          mid[39] = clamp_color_i8(rev_hp2);
+        } else {
+          mid[3] = clamp_color_i8(cand_len - 1);
+          mid[7] = clamp_color_i8(depth_fwd);
+          mid[29] = clamp_color_i8(fwd_hp2);
+          mid[18] = clamp_color_i8(depth_rev);
+          mid[40] = clamp_color_i8(rev_hp2);
+        }
+      } else if (type_digit == '1') {
         const uint8_t alt = cand_len > 1
                                 ? static_cast<uint8_t>(cand[1]) : 0;
         mid[1] = static_cast<int8_t>(window_ref_feature_value(alt));

@@ -75,4 +75,5 @@ long long emit_candidate_windows(
     const int32_t* allele_rev, double support_threshold,
     double snp_freq_threshold, double indel_freq_threshold, int skip_indels,
     int8_t* out_images, int32_t* out_position_k, int64_t* out_allele_index,
-    int32_t* out_freq, int64_t out_cap);
+    int32_t* out_freq, int64_t out_cap, int hp_mode,
+    const int32_t* allele_fwd_hp2, const int32_t* allele_rev_hp2);

@@ -141,9 +141,11 @@ def emit_windows_native(image_int8, region_size, window_size, feature_size,
                         base_indices, depths, ref_codes, pass_masks,
                         allele_lo, allele_hi, native: NativePileup,
                         support_threshold, snp_freq_threshold,
-                        indel_freq_threshold, skip_indels):
+                        indel_freq_threshold, skip_indels, hp_mode=False):
     """Native candidate-window emission (capi.cpp pepper_emit_windows —
-    golden spec: the Python per-candidate loop in ops/pileup_ref.py).
+    golden spec: the Python per-candidate loops in ops/pileup_ref.py and,
+    with hp_mode=True, ops/pileup_hp.py: 48-channel per-haplotype mid-row
+    columns, no observation negation, no deletion star rows).
     Returns (images (n, W+1, F) int8, position_k int32, allele_index int64,
     freq int32) or None when the native library is unavailable."""
     global _emit_windows_fn
@@ -162,7 +164,8 @@ def emit_windows_native(image_int8, region_size, window_size, feature_size,
                 c.POINTER(c.c_int), c.POINTER(c.c_int), c.c_double,
                 c.c_double, c.c_double, c.c_int, c.POINTER(c.c_int8),
                 c.POINTER(c.c_int), c.POINTER(c.c_longlong),
-                c.POINTER(c.c_int), c.c_longlong]
+                c.POINTER(c.c_int), c.c_longlong, c.c_int,
+                c.POINTER(c.c_int), c.POINTER(c.c_int)]
             _emit_windows_fn = fn
         except (OSError, AttributeError):
             _emit_windows_fn = False
@@ -185,8 +188,17 @@ def emit_windows_native(image_int8, region_size, window_size, feature_size,
     allele_hi = np.ascontiguousarray(allele_hi, np.int64)
     offsets = np.ascontiguousarray(native.allele_str_offsets, np.int64)
     totals = np.ascontiguousarray(native.allele_total, np.int32)
-    fwd = np.ascontiguousarray(native.allele_fwd, np.int32)
-    rev = np.ascontiguousarray(native.allele_rev, np.int32)
+    if hp_mode:
+        # HP: the fwd/rev slots carry hp1; hp2 goes through the extra args
+        fwd = np.ascontiguousarray(native.allele_fwd_hp1, np.int32)
+        rev = np.ascontiguousarray(native.allele_rev_hp1, np.int32)
+        fwd_hp2 = np.ascontiguousarray(native.allele_fwd_hp2, np.int32)
+        rev_hp2 = np.ascontiguousarray(native.allele_rev_hp2, np.int32)
+    else:
+        fwd = np.ascontiguousarray(native.allele_fwd, np.int32)
+        rev = np.ascontiguousarray(native.allele_rev, np.int32)
+        fwd_hp2 = fwd
+        rev_hp2 = rev
 
     n = _emit_windows_fn(
         _ptr(image_int8, c.c_int8), feature_size, region_size, window_size,
@@ -199,7 +211,8 @@ def emit_windows_native(image_int8, region_size, window_size, feature_size,
         float(snp_freq_threshold), float(indel_freq_threshold),
         1 if skip_indels else 0, _ptr(out_images, c.c_int8),
         _ptr(out_pos_k, c.c_int), _ptr(out_allele, c.c_longlong),
-        _ptr(out_freq, c.c_int), cap)
+        _ptr(out_freq, c.c_int), cap, 1 if hp_mode else 0,
+        _ptr(fwd_hp2, c.c_int), _ptr(rev_hp2, c.c_int))
     if n < 0:
         return None
     n = int(n)

@@ -331,6 +331,66 @@ class RegionalSummaryHP(RegionalSummary):
 
         windows: list[CandidateWindow] = []
         half = candidate_window_size // 2
+
+        # native window emission (round 5): the HP gate loop + 48-channel
+        # window assembly in one C call (pepper_emit_windows hp_mode=1),
+        # identical output to the Python loop below (A/B-tested in
+        # tests/test_native_pileup.py; PEPPER_PY_WINDOWS=1 forces Python);
+        # matches region_summary_hp.cpp:191-236's in-walk emission
+        import os as _os
+
+        if (native is not None
+                and _os.environ.get("PEPPER_PY_WINDOWS") != "1"):
+            from .native_pileup import emit_windows_native
+
+            allele_lo = np.searchsorted(native.allele_pos, kept_regions,
+                                        side="left")
+            allele_hi = np.searchsorted(native.allele_pos, kept_regions,
+                                        side="right")
+            base_indices = (kept_regions
+                            + self.cumulative_observed_insert[kept_regions])
+            depths = np.minimum(coverage[kept_regions],
+                                MAX_COLOR).astype(np.int32)
+            ref_codes = np.frombuffer(
+                self.reference_sequence.encode("latin-1"),
+                np.uint8)[kept_regions]
+            pass_masks = (snp_pass[kept_regions].astype(np.uint8)
+                          + 2 * insert_pass[kept_regions].astype(np.uint8)
+                          + 4 * delete_pass[kept_regions].astype(np.uint8))
+            result = emit_windows_native(
+                image, region_size, candidate_window_size, feature_size,
+                base_indices, depths, ref_codes, pass_masks, allele_lo,
+                allele_hi, native, candidate_support_threshold,
+                snp_candidate_freq_threshold,
+                indel_candidate_freq_threshold, skip_indels, hp_mode=True)
+            if result is not None:
+                out_images, pos_k, allele_idx, freqs = result
+                for j in range(len(pos_k)):
+                    k = int(pos_k[j])
+                    i = int(allele_idx[j])
+                    candidate = native.allele_string(i)
+                    pos = filtered_positions[k]
+                    base_label, type_label = 0, 0
+                    if train_mode:
+                        base_index = int(base_indices[k])
+                        truth_h1 = [_truth_candidate_string(t) for t in
+                                    self._hp1_truth.get(base_index, [])]
+                        truth_h2 = [_truth_candidate_string(t) for t in
+                                    self._hp2_truth.get(base_index, [])]
+                        found_h1 = candidate in truth_h1
+                        found_h2 = candidate in truth_h2
+                        type_label = (2 if (found_h1 and found_h2)
+                                      else 1 if (found_h1 or found_h2)
+                                      else 0)
+                        base_label = int(self.labels[base_index])
+                    windows.append(CandidateWindow(
+                        contig=self.contig, position=pos,
+                        depth=int(depths[k]), candidates=[candidate],
+                        candidate_frequency=[int(freqs[j])],
+                        image=out_images[j], base_label=base_label,
+                        type_label=type_label))
+                return windows
+
         for pos in filtered_positions:
             region_index = pos - self.ref_start
             depth = int(min(coverage[region_index], MAX_COLOR))

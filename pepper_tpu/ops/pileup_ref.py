@@ -619,13 +619,17 @@ class RegionalSummary:
         # numpy's scalar-overflow warning for the window loop
         saved_err = np.seterr(over="ignore")
 
-        # native window emission (inference path): the whole gate loop +
-        # per-window image assembly in one C call (pepper_emit_windows),
-        # identical output to the Python loop below (A/B-tested in
-        # tests/test_native_pileup.py; PEPPER_PY_WINDOWS=1 forces Python)
+        # native window emission: the whole gate loop + per-window image
+        # assembly in one C call (pepper_emit_windows), identical output
+        # to the Python loop below (A/B-tested in
+        # tests/test_native_pileup.py; PEPPER_PY_WINDOWS=1 forces Python).
+        # Train mode shares the same native call — the per-window labels
+        # attach afterwards (emitted windows are few, the gate loop is the
+        # cost; matches region_summary.cpp:828-916 which also labels
+        # inside the emission walk)
         import os as _os
 
-        if (native is not None and not train_mode and build_window_images
+        if (native is not None and build_window_images
                 and _os.environ.get("PEPPER_PY_WINDOWS") != "1"):
             from .native_pileup import emit_windows_native
 
@@ -653,6 +657,21 @@ class RegionalSummary:
                     i = int(allele_idx[j])
                     candidate = native.allele_string(i)
                     pos = pos_arr[k]
+                    base_label, type_label = 0, 0
+                    if train_mode:
+                        base_index = int(base_indices[k])
+                        truth_strings_h1 = [
+                            _truth_candidate_string(t)
+                            for t in self._hp1_truth.get(base_index, [])]
+                        truth_strings_h2 = [
+                            _truth_candidate_string(t)
+                            for t in self._hp2_truth.get(base_index, [])]
+                        found_h1 = candidate in truth_strings_h1
+                        found_h2 = candidate in truth_strings_h2
+                        type_label = (2 if (found_h1 and found_h2)
+                                      else 1 if (found_h1 or found_h2)
+                                      else 0)
+                        base_label = int(self.labels[base_index])
                     self.descriptor_rows.append(
                         (pos, candidate, int(native.allele_fwd[i]),
                          int(native.allele_rev[i])))
@@ -660,7 +679,8 @@ class RegionalSummary:
                         contig=self.contig, position=pos,
                         depth=int(depths[k]), candidates=[candidate],
                         candidate_frequency=[int(freqs[j])],
-                        image=out_images[j], base_label=0, type_label=0))
+                        image=out_images[j], base_label=base_label,
+                        type_label=type_label))
                 np.seterr(**saved_err)
                 return windows
 
