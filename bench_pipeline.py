@@ -354,7 +354,8 @@ def bench_consensus(num_devices: int, batch: int = 512,
     mesh-sharded (the `--num_devices` serving path).  Relay methodology
     (PERFORMANCE.md): N distinct perturbed batches inside ONE jitted
     dispatch, scalar checksum fetch, marginal rate over two scan lengths —
-    measures sustained device throughput, not relay transfer."""
+    measures sustained device throughput, not relay transfer.
+    dtype="static" serves the int8 tree (consensus_scan_static)."""
     from functools import partial
 
     import jax
@@ -363,12 +364,21 @@ def bench_consensus(num_devices: int, batch: int = 512,
 
     from pepper_tpu.models.polish_gru import init_polish_params
     from pepper_tpu.parallel.mesh import local_mesh, replicate, shard_batch
-    from pepper_tpu.polish.consensus import SEQ_LENGTH, consensus_scan
+    from pepper_tpu.polish.consensus import (SEQ_LENGTH, consensus_scan,
+                                             consensus_scan_static)
     from pepper_tpu.utils.profiling import log_line
 
+    static = dtype == "static"
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     mesh = local_mesh(num_devices)
     params = init_polish_params(jax.random.PRNGKey(0))
+    scan_fn = consensus_scan
+    if static:
+        from pepper_tpu.models.quantize import polish_quantize_params_static
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, polish_quantize_params_static(params))
+        scan_fn = consensus_scan_static
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randint(0, 40, size=(batch, SEQ_LENGTH, 10)),
                     compute_dtype)
@@ -380,7 +390,7 @@ def bench_consensus(num_devices: int, batch: int = 512,
     def run(params, x, iters):
         def body(acc, i):
             xi = x + i.astype(x.dtype)
-            _, labels, phred = consensus_scan(params, xi)
+            _, labels, phred = scan_fn(params, xi)
             return acc + jnp.sum(phred) + jnp.sum(
                 labels.astype(jnp.float32)), ()
 

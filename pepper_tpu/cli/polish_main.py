@@ -32,6 +32,15 @@ def _add_common(parser, need_model=False):
             help="Accelerators to shard consensus batches over "
                  "(-1 = all local devices; the reference's per-CUDA-device "
                  "polish fan-out, predict_distributed_gpu.py:39-70).")
+        parser.add_argument(
+            "--quantized", action="store_true", default=False,
+            help="Serve the consensus GRU through the static-int8 path "
+                 "(exact 1/127 activation scales on the tanh-bounded "
+                 "hidden streams; the reference's quantized-serving "
+                 "recommendation, CallVariantsArguments.py:204-208).")
+        parser.add_argument(
+            "--quantize_mode", default="static", choices=["static"],
+            help="Quantization scheme used with --quantized.")
 
 
 def build_parser():

@@ -380,3 +380,134 @@ def transducer_infer_static(q, x, compute_dtype=jnp.bfloat16):
     from ..ops.lstm_kernel import use_pallas_lstm
 
     return _infer_static(q, x, compute_dtype, use_pallas_lstm())
+
+
+# ---------------- polish GRU static serving ----------------
+# The polish consensus GRU's hidden stream h' = (1-z)*n + z*h is
+# tanh-bounded exactly like the LSTM's o*tanh(c), so the same exact-1/127
+# static scheme applies (VERDICT r4 task 5): the encoder emits round(h*127)
+# int8 codes, the decoder's dominant 256->384 input projection runs
+# int8 x int8 on the MXU with one fused rescale, and the per-timestep head
+# einsums in int8.  Recurrent matmuls, biases and the hidden CARRY stay
+# float (static_rec measured slower at this width for the LSTM; the carry
+# must stay exact for the sliding-window semantics).
+
+
+def polish_quantize_params_static(params):
+    """float polish param pytree -> static int8 serving tree: decoder
+    w_ih_* and the output head w become int8 with fused rescales."""
+    tree = {}
+    for name, node in params.items():
+        tree[name] = {k: np.asarray(v, np.float32) for k, v in node.items()}
+    dec = tree["decoder"]
+    for sfx in ("f", "b"):
+        q, scale = _quantize_cols(dec[f"w_ih_{sfx}"])
+        dec[f"w_ih_{sfx}"] = q
+        dec[f"as_{sfx}"] = scale / 127.0
+    out = tree["output"]
+    q, scale = _quantize_cols(out["w"])
+    out["w"] = q
+    out["as"] = (scale / 127.0).reshape(-1)
+    return tree
+
+
+def _gru_recurrence_xw(xw, w_hh, b_hh, h0, reverse):
+    """GRU recurrence from precomputed input projections, f32 state —
+    matches the static Pallas kernel's per-step math exactly."""
+    H = w_hh.shape[0]
+
+    def step(h, xw_t):
+        hw = h @ w_hh + b_hh
+        r = jax.nn.sigmoid(xw_t[:, :H] + hw[:, :H])
+        z = jax.nn.sigmoid(xw_t[:, H:2 * H] + hw[:, H:2 * H])
+        n = jnp.tanh(xw_t[:, 2 * H:] + r * hw[:, 2 * H:])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    hT, ys = jax.lax.scan(step, h0, xw, reverse=reverse)
+    return ys, hT
+
+
+def _scan_bigru_to_q(xt, params, h0, compute_dtype):
+    """Fallback encoder: float input projection, f32 recurrence, int8-coded
+    streams out, float final hidden.  h0: (B, 2, H)."""
+
+    def direction(sfx, h0d, reverse):
+        xw = jnp.einsum("tbf,fg->tbg", xt.astype(compute_dtype),
+                        params[f"w_ih_{sfx}"].astype(compute_dtype)) \
+            .astype(jnp.float32) + params[f"b_ih_{sfx}"]
+        ys, hT = _gru_recurrence_xw(xw, params[f"w_hh_{sfx}"],
+                                    params[f"b_hh_{sfx}"],
+                                    h0d.astype(jnp.float32), reverse)
+        return _quantize_h(ys), hT
+
+    fq, hf = direction("f", h0[:, 0], False)
+    bq, hb = direction("b", h0[:, 1], True)
+    return fq, bq, jnp.stack([hf, hb], axis=1)
+
+
+def _scan_bigru_q_to_q(x_parts_q, params, h0, compute_dtype):
+    """Fallback decoder: int8 input projections with int32 accumulation and
+    fused rescale, f32 recurrence, int8 streams out, float final hidden."""
+    splits, off = [], 0
+    for xp in x_parts_q:
+        splits.append((off, off + xp.shape[2]))
+        off += xp.shape[2]
+
+    def direction(sfx, h0d, reverse):
+        w_q = params[f"w_ih_{sfx}"]
+        acc = None
+        for xp, (s, e) in zip(x_parts_q, splits):
+            part = jnp.einsum("tbf,fg->tbg", xp, w_q[s:e],
+                              preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+        xw = (acc.astype(jnp.float32) * params[f"as_{sfx}"]
+              + params[f"b_ih_{sfx}"])
+        ys, hT = _gru_recurrence_xw(xw, params[f"w_hh_{sfx}"],
+                                    params[f"b_hh_{sfx}"],
+                                    h0d.astype(jnp.float32), reverse)
+        return _quantize_h(ys), hT
+
+    fq, hf = direction("f", h0[:, 0], False)
+    bq, hb = direction("b", h0[:, 1], True)
+    return fq, bq, jnp.stack([hf, hb], axis=1)
+
+
+def polish_forward_static(q, xt, hidden, compute_dtype=jnp.float32,
+                          use_kernel=None, interpret=False):
+    """Static-int8 polish forward, time-major.
+
+    xt: (T, B, F) float window; hidden: (B, 2, H) float carry.
+    Returns (logits (T, B, C) f32, hidden_final (B, 2, H) f32).  Kernel
+    and scan paths agree on every int8 code (tests/test_quantize_static)."""
+    if use_kernel is None:
+        from ..ops.gru_kernel import use_fused_gru
+
+        use_kernel = use_fused_gru()
+    if use_kernel:
+        from ..ops.gru_kernel import bigru_fused_static
+
+        enc = {k: (v.astype(compute_dtype) if k.startswith("w_ih")
+                   or k.startswith("w_hh") else v)
+               for k, v in q["encoder"].items()}
+        f1q, b1q, hid1 = bigru_fused_static(
+            (xt.astype(compute_dtype),), enc, hidden, interpret=interpret)
+        dec = {k: (v.astype(compute_dtype) if k.startswith("w_hh") else v)
+               for k, v in q["decoder"].items()}
+        f2q, b2q, hid_final = bigru_fused_static(
+            (f1q, b1q), dec, hid1, acc_scale=(dec["as_f"], dec["as_b"]),
+            interpret=interpret)
+    else:
+        f1q, b1q, hid1 = _scan_bigru_to_q(xt, q["encoder"], hidden,
+                                          compute_dtype)
+        f2q, b2q, hid_final = _scan_bigru_q_to_q((f1q, b1q), q["decoder"],
+                                                 hid1, compute_dtype)
+
+    w_q = q["output"]["w"]
+    H = w_q.shape[0] // 2
+    acc = (jnp.einsum("tbh,hc->tbc", f2q, w_q[:H],
+                      preferred_element_type=jnp.int32)
+           + jnp.einsum("tbh,hc->tbc", b2q, w_q[H:],
+                        preferred_element_type=jnp.int32))
+    logits = acc.astype(jnp.float32) * q["output"]["as"] + q["output"]["b"]
+    return logits, hid_final

@@ -104,6 +104,46 @@ def consensus_scan(params, images, num_classes=5):
     return votes, labels, phred
 
 
+@partial(jax.jit, static_argnames=("num_classes",))
+def consensus_scan_static(q, images, num_classes=5):
+    """Static-int8 consensus (the round-3 exact-1/127 trick applied to the
+    polish GRU — models/quantize.py polish_forward_static): same sliding-
+    window scan and overlap-add as consensus_scan, logits from the int8
+    serving tree.  images: (B, SEQ_LENGTH, F) float."""
+    from ..models.quantize import polish_forward_static
+
+    B = images.shape[0]
+    hidden0 = jnp.zeros((B, 2, 128), jnp.float32)
+    starts = np.arange(0, SEQ_LENGTH - TRAIN_WINDOW + 1, WINDOW_JUMP)
+    assert (TRAIN_WINDOW == 2 * WINDOW_JUMP
+            and (len(starts) + 1) * WINDOW_JUMP == SEQ_LENGTH)
+    windows = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(images, int(s), TRAIN_WINDOW, axis=1)
+         for s in starts])
+    windows_tm = jnp.transpose(windows, (0, 2, 1, 3))  # (n, W, B, F)
+
+    def body(hidden, window):
+        logits, hidden = polish_forward_static(q, window, hidden,
+                                               compute_dtype=window.dtype)
+        return hidden, jax.nn.softmax(logits, axis=2)
+
+    _, probs = jax.lax.scan(body, hidden0, windows_tm)
+    half = WINDOW_JUMP
+    zeros_seg = jnp.zeros((1, half, B, num_classes), jnp.float32)
+    votes_seg = (jnp.concatenate([probs[:, :half], zeros_seg], axis=0)
+                 + jnp.concatenate([zeros_seg, probs[:, half:]], axis=0))
+    votes = jnp.transpose(votes_seg.reshape(SEQ_LENGTH, B, num_classes),
+                          (1, 0, 2))
+    base_values = jnp.max(votes, axis=2)
+    labels = jnp.argmax(votes, axis=2).astype(jnp.int32)
+    counts = jnp.ones((B, SEQ_LENGTH - 2 * SEQ_OVERLAP), jnp.float32)
+    counts = jnp.pad(counts, ((0, 0), (SEQ_OVERLAP, SEQ_OVERLAP))) + 1.0
+    fraction = base_values / counts
+    phred = -10.0 * jnp.log10(jnp.maximum(1e-30, 1.0 - fraction))
+    phred = jnp.where(fraction >= 1.0, 100.0, phred)
+    return votes, labels, phred
+
+
 def dry_consensus_labels(images: np.ndarray):
     """Deterministic model-free backend (polish analog of the variant-mode
     --dry fixture): per-position dominant observation from the image itself.
@@ -121,8 +161,26 @@ def dry_consensus_labels(images: np.ndarray):
     return labels.astype(np.int32), phred
 
 
+_static_tree_cache: list = []
+
+
+def _static_tree_cached(params):
+    """Single-entry memo of the static-int8 serving tree keyed on the host
+    params' identity, so per-file predict calls reuse one device tree (and
+    replicate_cached sees a stable object under a mesh)."""
+    if _static_tree_cache and _static_tree_cache[0][0] is params:
+        return _static_tree_cache[0][1]
+    from ..models.quantize import polish_quantize_params_static
+
+    q = jax.tree_util.tree_map(jnp.asarray,
+                               polish_quantize_params_static(params))
+    _static_tree_cache[:] = [(params, q)]
+    return q
+
+
 def consensus_predict(params, images: np.ndarray, batch_size: int = 512,
-                      compute_dtype=jnp.float32, mesh=None):
+                      compute_dtype=jnp.float32, mesh=None,
+                      quantize_mode: str | None = None):
     """Batched host wrapper: (N, 1000, 10) uint8 images -> (labels, phred)
     numpy arrays, padding the final batch so jit compiles once.
 
@@ -131,11 +189,22 @@ def consensus_predict(params, images: np.ndarray, batch_size: int = 512,
     fanning polish consensus over every CUDA device
     (pepper/modules/python/models/predict_distributed_gpu.py:39-70).  The
     hidden carry is per-sequence, so batch DP is exact: sharded and
-    single-device runs produce identical labels/phred."""
+    single-device runs produce identical labels/phred.
+
+    quantize_mode="static": serve through the exact-1/127 int8 tree
+    (consensus_scan_static; the reference's own quantized-serving
+    recommendation, CallVariantsArguments.py:204-208)."""
     n = len(images)
     if n == 0:
         return (np.zeros((0, SEQ_LENGTH), np.int32),
                 np.zeros((0, SEQ_LENGTH), np.float32))
+    scan_fn = consensus_scan
+    if quantize_mode == "static":
+        params = _static_tree_cached(params)
+        scan_fn = consensus_scan_static
+    elif quantize_mode not in (None, "", "none", "off"):
+        raise ValueError(
+            f"unsupported polish quantize_mode: {quantize_mode!r}")
     n_devices = 1
     if mesh is not None:
         from ..parallel.mesh import replicate_cached, shard_batch
@@ -162,7 +231,7 @@ def consensus_predict(params, images: np.ndarray, batch_size: int = 512,
         device_batch = jnp.asarray(padded, compute_dtype)
         if mesh is not None:
             device_batch = shard_batch(mesh, device_batch)
-        _, labels, phred = consensus_scan(params, device_batch)
+        _, labels, phred = scan_fn(params, device_batch)
         all_labels[start:start + len(chunk)] = np.asarray(
             labels)[:len(chunk)]
         all_phred[start:start + len(chunk)] = np.asarray(phred)[:len(chunk)]

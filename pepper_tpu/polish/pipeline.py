@@ -356,7 +356,10 @@ def call_consensus(options, image_dir: str, output_dir: str, params):
             else:
                 labels, phred = consensus_predict(
                     params, image_stack, batch_size=options.batch_size,
-                    mesh=mesh)
+                    mesh=mesh,
+                    quantize_mode=(getattr(options, "quantize_mode", None)
+                                   if getattr(options, "quantized", False)
+                                   else None))
             for i, record in enumerate(records):
                 store.write_prediction(
                     record["contig"], record["region_start"],

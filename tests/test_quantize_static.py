@@ -189,3 +189,113 @@ def test_hp_model_static(model):
     q = quantize_params_static(params)
     probs = np.asarray(transducer_infer_static(q, x, jnp.float32))
     np.testing.assert_allclose(probs, expected, atol=5e-3)
+
+
+# ---------------- polish GRU static serving (round 5) ----------------
+
+
+@pytest.fixture(scope="module")
+def polish_model():
+    from pepper_tpu.models.polish_gru import init_polish_params
+
+    params = init_polish_params(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(5)
+    images = rng.randint(0, 40, size=(4, 1000, 10)).astype(np.uint8)
+    return params, images
+
+
+def test_polish_static_kernel_matches_scan_bitwise(polish_model):
+    """The static GRU Pallas kernels (interpret mode) and the scan
+    fallback agree on every int8 hidden code and the float hidden carry."""
+    from pepper_tpu.models.quantize import (
+        _scan_bigru_q_to_q,
+        _scan_bigru_to_q,
+        polish_quantize_params_static,
+    )
+    from pepper_tpu.ops.gru_kernel import bigru_fused_static
+
+    params, images = polish_model
+    q = jax.tree_util.tree_map(jnp.asarray,
+                               polish_quantize_params_static(params))
+    rng = np.random.RandomState(9)
+    xt = jnp.asarray(rng.randint(0, 40, size=(100, 4, 10)), jnp.float32)
+    h0 = jnp.asarray(rng.uniform(-0.9, 0.9, size=(4, 2, 128)), jnp.float32)
+
+    f1k, b1k, hid1k = bigru_fused_static((xt,), q["encoder"], h0,
+                                         interpret=True)
+    f1s, b1s, hid1s = _scan_bigru_to_q(xt, q["encoder"], h0, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f1k), np.asarray(f1s))
+    np.testing.assert_array_equal(np.asarray(b1k), np.asarray(b1s))
+    np.testing.assert_allclose(np.asarray(hid1k), np.asarray(hid1s),
+                               atol=1e-6)
+
+    dec = q["decoder"]
+    f2k, b2k, hidk = bigru_fused_static((f1k, b1k), dec, hid1k,
+                                        acc_scale=(dec["as_f"],
+                                                   dec["as_b"]),
+                                        interpret=True)
+    f2s, b2s, hids = _scan_bigru_q_to_q((f1s, b1s), dec, hid1s,
+                                        jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f2k), np.asarray(f2s))
+    np.testing.assert_array_equal(np.asarray(b2k), np.asarray(b2s))
+    np.testing.assert_allclose(np.asarray(hidk), np.asarray(hids),
+                               atol=1e-6)
+
+
+def test_polish_static_close_to_float(polish_model):
+    """Static-int8 consensus tracks the float model: near-identical vote
+    tensors and identical labels on random images."""
+    from pepper_tpu.polish.consensus import (
+        consensus_predict,
+        consensus_scan,
+        consensus_scan_static,
+    )
+    from pepper_tpu.models.quantize import polish_quantize_params_static
+
+    params, images = polish_model
+    x = jnp.asarray(images, jnp.float32)
+    votes_f, labels_f, phred_f = consensus_scan(params, x)
+    q = jax.tree_util.tree_map(jnp.asarray,
+                               polish_quantize_params_static(params))
+    votes_q, labels_q, phred_q = consensus_scan_static(q, x)
+    np.testing.assert_allclose(np.asarray(votes_q), np.asarray(votes_f),
+                               atol=0.05)
+    agree = (np.asarray(labels_q) == np.asarray(labels_f)).mean()
+    assert agree > 0.99, agree
+    # every confidently-voted position must agree exactly (disagreements
+    # on a random-weight model are argmax ties between near-equal votes)
+    vf = np.sort(np.asarray(votes_f), axis=2)
+    margin = vf[..., -1] - vf[..., -2]
+    confident = margin > 0.05
+    assert confident.mean() > 0.3
+    np.testing.assert_array_equal(np.asarray(labels_q)[confident],
+                                  np.asarray(labels_f)[confident])
+
+    # the public wrapper path
+    labels_w, phred_w = consensus_predict(params, images,
+                                          quantize_mode="static")
+    np.testing.assert_array_equal(labels_w, np.asarray(labels_q))
+
+
+def test_polish_static_sharded_matches_single_device(polish_model):
+    """--quantized --num_devices N: mesh-sharded static consensus equals
+    the single-device run exactly (batch DP with replicated int8 tree)."""
+    from pepper_tpu.parallel.mesh import get_mesh
+    from pepper_tpu.polish.consensus import consensus_predict
+
+    params, images = polish_model
+    labels_1, phred_1 = consensus_predict(params, images,
+                                          quantize_mode="static")
+    mesh = get_mesh(len(jax.devices()))
+    labels_n, phred_n = consensus_predict(params, images, mesh=mesh,
+                                          quantize_mode="static")
+    np.testing.assert_array_equal(labels_1, labels_n)
+    np.testing.assert_array_equal(phred_1, phred_n)
+
+
+def test_polish_static_rejects_unknown_mode(polish_model):
+    from pepper_tpu.polish.consensus import consensus_predict
+
+    params, images = polish_model
+    with pytest.raises(ValueError):
+        consensus_predict(params, images, quantize_mode="bogus")
