@@ -69,21 +69,23 @@ constexpr int FLAG_QCFAIL = 0x200;
 constexpr int FLAG_DUP = 0x400;
 constexpr int FLAG_SUPPLEMENTARY = 0x800;
 
-// UCSC binning: list of bins overlapping [beg, end).
-void reg2bins(int64_t beg, int64_t end, std::vector<uint32_t>* bins) {
+// UCSC binning generalized to CSI parameters: list of bins overlapping
+// [beg, end) for a scheme with `depth` levels below the root and leaf
+// windows of 1 << min_shift bp.  min_shift=14, depth=5 reproduces the
+// classic BAI bins exactly (htslib reg2bins role; CSI spec §"computing
+// the bins").
+void reg2bins(int64_t beg, int64_t end, int min_shift, int depth,
+              std::vector<uint32_t>* bins) {
   if (beg >= end) return;
   end -= 1;
-  bins->push_back(0);
-  for (int64_t k = 1 + (beg >> 26); k <= 1 + (end >> 26); ++k)
-    bins->push_back(static_cast<uint32_t>(k));
-  for (int64_t k = 9 + (beg >> 23); k <= 9 + (end >> 23); ++k)
-    bins->push_back(static_cast<uint32_t>(k));
-  for (int64_t k = 73 + (beg >> 20); k <= 73 + (end >> 20); ++k)
-    bins->push_back(static_cast<uint32_t>(k));
-  for (int64_t k = 585 + (beg >> 17); k <= 585 + (end >> 17); ++k)
-    bins->push_back(static_cast<uint32_t>(k));
-  for (int64_t k = 4681 + (beg >> 14); k <= 4681 + (end >> 14); ++k)
-    bins->push_back(static_cast<uint32_t>(k));
+  int64_t t = 0;
+  int s = min_shift + depth * 3;
+  for (int level = 0; level <= depth; ++level) {
+    for (int64_t k = t + (beg >> s); k <= t + (end >> s); ++k)
+      bins->push_back(static_cast<uint32_t>(k));
+    t += int64_t(1) << (level * 3);
+    s -= 3;
+  }
 }
 
 int aux_type_size(uint8_t type) {
@@ -224,11 +226,13 @@ BamReader::BamReader(const std::string& path) : path_(path) {
   bgzf_ = std::make_unique<BgzfReader>(path);
   if (!bgzf_->ok()) return;
   if (!read_header()) return;
-  // Try <bam>.bai then <stem>.bai
-  if (!load_index(path + ".bai")) {
+  // Try <bam>.bai, <bam>.csi, then the <stem> variants (htslib looks up
+  // both transparently; CSI carries contigs > 2^29 bp)
+  if (!load_index(path + ".bai") && !load_csi(path + ".csi")) {
     const auto dot = path.rfind('.');
     if (dot != std::string::npos) {
-      load_index(path.substr(0, dot) + ".bai");
+      const std::string stem = path.substr(0, dot);
+      if (!load_index(stem + ".bai")) load_csi(stem + ".csi");
     }
   }
   ok_ = true;
@@ -315,6 +319,87 @@ bool BamReader::load_index(const std::string& path) {
   return true;
 }
 
+bool BamReader::load_csi(const std::string& path) {
+  // CSI (.csi): the BAI scheme with parameterized (min_shift, depth),
+  // BGZF-compressed, no separate linear index — each bin instead carries
+  // loffset, the virtual offset of the first overlapping record.  A
+  // pseudo-linear index is rebuilt from the LEAF bins' loffsets (leaf
+  // windows are exactly the BAI 16kb windows at the default parameters);
+  // forward-filled holes only shrink min_off relative to truth, so chunk
+  // pruning stays sound.
+  BgzfReader reader(path);
+  if (!reader.ok()) return false;
+  std::vector<uint8_t> data;
+  uint8_t buf[4096];
+  for (;;) {
+    const int64_t got = reader.read(buf, sizeof(buf));
+    if (got <= 0) break;
+    data.insert(data.end(), buf, buf + got);
+  }
+  const uint8_t* p = data.data();
+  const uint8_t* end = p + data.size();
+  if (data.size() < 16 || std::memcmp(p, "CSI\1", 4) != 0) return false;
+  const int32_t min_shift = rd_i32(p + 4);
+  const int32_t depth = rd_i32(p + 8);
+  const uint32_t l_aux = rd_u32(p + 12);
+  p += 16;
+  if (min_shift < 1 || min_shift > 32 || depth < 1 || depth > 10)
+    return false;
+  if (static_cast<size_t>(end - p) < l_aux + 4) return false;
+  p += l_aux;
+  const uint32_t n_ref = rd_u32(p);
+  p += 4;
+  const int64_t leaf_t =
+      ((int64_t(1) << (3 * depth)) - 1) / 7;  // first leaf bin id
+  const int64_t meta_bin =
+      ((int64_t(1) << (3 * (depth + 1))) - 1) / 7 + 1;
+  index_.refs.assign(n_ref, {});
+  index_.min_shift = min_shift;
+  index_.depth = depth;
+  for (uint32_t r = 0; r < n_ref; ++r) {
+    if (end - p < 4) return false;
+    const uint32_t n_bin = rd_u32(p);
+    p += 4;
+    auto& ref = index_.refs[r];
+    std::vector<std::pair<int64_t, uint64_t>> leaf_offsets;
+    for (uint32_t b = 0; b < n_bin; ++b) {
+      if (end - p < 16) return false;
+      const uint32_t bin_id = rd_u32(p);
+      const uint64_t loffset = rd_u64(p + 4);
+      const uint32_t n_chunk = rd_u32(p + 12);
+      p += 16;
+      std::vector<BaiIndex::Chunk> chunks;
+      chunks.reserve(n_chunk);
+      for (uint32_t c = 0; c < n_chunk; ++c) {
+        if (end - p < 16) return false;
+        chunks.push_back({rd_u64(p), rd_u64(p + 8)});
+        p += 16;
+      }
+      if (bin_id == meta_bin) continue;  // metadata pseudo-bin
+      if (bin_id >= leaf_t && loffset > 0)
+        leaf_offsets.emplace_back(bin_id - leaf_t, loffset);
+      ref.bins.emplace_back(bin_id, std::move(chunks));
+    }
+    if (!leaf_offsets.empty()) {
+      int64_t max_window = 0;
+      for (const auto& entry : leaf_offsets)
+        max_window = std::max(max_window, entry.first);
+      ref.linear.assign(max_window + 1, 0);
+      for (const auto& entry : leaf_offsets)
+        ref.linear[entry.first] = entry.second;
+      uint64_t fill = 0;
+      for (auto& v : ref.linear) {
+        if (v == 0)
+          v = fill;
+        else
+          fill = v;
+      }
+    }
+  }
+  index_.loaded = true;
+  return true;
+}
+
 int BamReader::target_id(const std::string& name) const {
   for (size_t i = 0; i < names_.size(); ++i) {
     if (names_[i] == name) return static_cast<int>(i);
@@ -344,12 +429,13 @@ std::unique_ptr<ReadBatch> BamReader::get_reads(const std::string& chrom,
     const auto& ref = index_.refs[tid];
     uint64_t min_off = 0;
     if (!ref.linear.empty()) {
-      size_t w = static_cast<size_t>(std::max<int64_t>(0, start) >> 14);
+      size_t w = static_cast<size_t>(
+          std::max<int64_t>(0, start) >> index_.min_shift);
       if (w >= ref.linear.size()) w = ref.linear.size() - 1;
       min_off = ref.linear[w];
     }
     std::vector<uint32_t> bins;
-    reg2bins(start, stop, &bins);
+    reg2bins(start, stop, index_.min_shift, index_.depth, &bins);
     std::sort(bins.begin(), bins.end());
     for (const auto& entry : ref.bins) {
       if (!std::binary_search(bins.begin(), bins.end(), entry.first)) continue;

@@ -54,6 +54,10 @@ struct BaiIndex {
     std::vector<uint64_t> linear;
   };
   std::vector<Ref> refs;
+  // CSI generalization (BAI == min_shift 14, depth 5); the pseudo-linear
+  // index for CSI is rebuilt from leaf-bin loffsets at load time
+  int min_shift = 14;
+  int depth = 5;
   bool loaded = false;
 };
 
@@ -76,6 +80,7 @@ class BamReader {
  private:
   bool read_header();
   bool load_index(const std::string& path);
+  bool load_csi(const std::string& path);
 
   std::string path_;
   std::unique_ptr<BgzfReader> bgzf_;

@@ -43,18 +43,18 @@ def reference_span(cigar_ops) -> int:
     return sum(length for op, length in cigar_ops if op in _CONSUMES_REF)
 
 
-def reg2bin(beg: int, end: int) -> int:
+def reg2bin(beg: int, end: int, min_shift: int = 14,
+            depth: int = 5) -> int:
+    """Smallest bin containing [beg, end); parameterized like CSI
+    (min_shift=14, depth=5 is the classic BAI scheme)."""
     end -= 1
-    if beg >> 14 == end >> 14:
-        return ((1 << 15) - 1) // 7 + (beg >> 14)
-    if beg >> 17 == end >> 17:
-        return ((1 << 12) - 1) // 7 + (beg >> 17)
-    if beg >> 20 == end >> 20:
-        return ((1 << 9) - 1) // 7 + (beg >> 20)
-    if beg >> 23 == end >> 23:
-        return ((1 << 6) - 1) // 7 + (beg >> 23)
-    if beg >> 26 == end >> 26:
-        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    shift = min_shift
+    offset = ((1 << (3 * depth)) - 1) // 7
+    for level in range(depth, 0, -1):
+        if beg >> shift == end >> shift:
+            return offset + (beg >> shift)
+        shift += 3
+        offset -= 1 << (3 * (level - 1))
     return 0
 
 
@@ -114,8 +114,12 @@ class BamRecord:
 
 
 def write_bam(path: str, references: list[tuple[str, int]],
-              records: list[BamRecord], write_index: bool = True) -> None:
-    """Write a coordinate-sorted BAM and its .bai index.
+              records: list[BamRecord], write_index: bool = True,
+              index: str = "bai", min_shift: int = 14,
+              depth: int = 5) -> None:
+    """Write a coordinate-sorted BAM and its index (.bai, or .csi with
+    index="csi" and optional custom min_shift/depth — the htslib CSI
+    scheme for contigs beyond 2^29 bp).
 
     `records` must already be sorted by (ref_id, pos)."""
     n_ref = len(references)
@@ -144,7 +148,11 @@ def write_bam(path: str, references: list[tuple[str, int]],
         writer.close()
 
     if write_index:
-        _write_bai(path + ".bai", n_ref, record_voffsets)
+        if index == "csi":
+            _write_csi(path + ".csi", n_ref, record_voffsets, min_shift,
+                       depth)
+        else:
+            _write_bai(path + ".bai", n_ref, record_voffsets)
 
 
 def _write_bai(path: str, n_ref: int, entries) -> None:
@@ -181,6 +189,40 @@ def _write_bai(path: str, n_ref: int, entries) -> None:
                 if window in linear:
                     fill = linear[window]
                 f.write(struct.pack("<Q", fill))
+
+
+def _write_csi(path: str, n_ref: int, entries, min_shift: int = 14,
+               depth: int = 5) -> None:
+    """CSI index (hts-specs CSIv1): the BAI scheme with parameterized
+    (min_shift, depth), BGZF-compressed, per-bin loffset instead of a
+    separate linear index."""
+    from .bgzf_writer import BgzfWriter
+
+    bins_per_ref = [{} for _ in range(n_ref)]
+    for ref_id, beg, end, voff_start, voff_end in entries:
+        if ref_id < 0:
+            continue
+        b = reg2bin(beg, end, min_shift, depth)
+        chunks = bins_per_ref[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_start:
+            chunks[-1] = (chunks[-1][0], voff_end)
+        else:
+            chunks.append((voff_start, voff_end))
+    with open(path, "wb") as raw:
+        writer = BgzfWriter(raw)
+        writer.write(b"CSI\1" + struct.pack("<iii", min_shift, depth, 0))
+        writer.write(struct.pack("<i", n_ref))
+        for ref_id in range(n_ref):
+            bins = bins_per_ref[ref_id]
+            writer.write(struct.pack("<i", len(bins)))
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                loffset = min(c[0] for c in chunks)
+                writer.write(struct.pack("<IQi", bin_id, loffset,
+                                         len(chunks)))
+                for beg_voff, end_voff in chunks:
+                    writer.write(struct.pack("<QQ", beg_voff, end_voff))
+        writer.close()
 
 
 def write_fasta(path: str, sequences: dict[str, str],

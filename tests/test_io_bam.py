@@ -166,3 +166,52 @@ def test_bam_index_query_many_reads(tmp_path, fasta_path, ref_seq):
         length = len(reads[i].seq)
         overlaps = pos < 600 and pos + length > 500
         assert (f"r{i}" in names) == overlaps, (i, pos, length)
+
+
+def test_csi_index_fetch_matches_bai(tmp_path):
+    """Round-5 CSI support (htslib reads .csi transparently — the BAI
+    scheme with parameterized min_shift/depth; required for contigs beyond
+    2^29 bp): region fetches through a CSI-only index must equal the BAI
+    fetches, at both the default and a custom (min_shift, depth)."""
+    import numpy as np
+
+    from pepper_tpu.io.bam import BamReader
+    from pepper_tpu.io.bam_writer import BamRecord, write_bam
+
+    rng = np.random.RandomState(17)
+    ref_len = 400_000
+    records = []
+    for i in range(300):
+        start = int(rng.randint(0, ref_len - 900))
+        length = int(rng.randint(80, 800))
+        seq = "".join("ACGT"[b] for b in rng.randint(0, 4, length))
+        records.append(BamRecord(f"r{i}", 0, start, 60, f"{length}M", seq,
+                                 [30] * length,
+                                 flag=0x10 if i % 2 else 0))
+    records.sort(key=lambda r: r.pos)
+
+    bai_bam = str(tmp_path / "bai.bam")
+    write_bam(bai_bam, [("c1", ref_len)], records)
+
+    def batches_equal(a, b):
+        for attr in ("pos", "pos_end", "mapq", "flag", "seq_offsets",
+                     "seq", "qual", "cigar_offsets", "cigar_ops",
+                     "cigar_lens"):
+            np.testing.assert_array_equal(getattr(a, attr),
+                                          getattr(b, attr), err_msg=attr)
+        assert a.names == b.names
+
+    for min_shift, depth in ((14, 5), (12, 4)):
+        csi_bam = str(tmp_path / f"csi_{min_shift}_{depth}.bam")
+        write_bam(csi_bam, [("c1", ref_len)], records, index="csi",
+                  min_shift=min_shift, depth=depth)
+        import os
+
+        assert os.path.exists(csi_bam + ".csi")
+        assert not os.path.exists(csi_bam + ".bai")
+        bai_reader = BamReader(bai_bam)
+        csi_reader = BamReader(csi_bam)
+        for lo, hi in ((0, 5_000), (123_456, 130_000),
+                       (250_000, 250_100), (399_000, 400_000)):
+            batches_equal(csi_reader.get_reads("c1", lo, hi, False, 0, 0),
+                          bai_reader.get_reads("c1", lo, hi, False, 0, 0))
