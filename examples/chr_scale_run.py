@@ -84,10 +84,19 @@ def main():
     with StageTimer("CALL_VARIANT (chr-scale)"):
         call_variant(call_options, params=params)
 
-    stats = score_vcf_by_type(
-        os.path.join(base, "calls", "PEPPER_VARIANT_FULL.vcf.gz"),
-        test_genome["variants"])
-    print_score_table(stats, log_line)
+    # Score the FULL file (every call) AND the two product outputs the
+    # reference pipeline actually consumes: the PEPPER-confident VCF and
+    # the re-genotype VCF that downstream DeepVariant re-examines
+    # (VcfWriter.py:163-217 routing) — low-QV calls land in the latter,
+    # so product-level FP counts belong to the per-file split.
+    for name in ("PEPPER_VARIANT_FULL", "PEPPER_VARIANT_OUTPUT_PEPPER",
+                 "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING"):
+        path = os.path.join(base, "calls", name + ".vcf.gz")
+        if not os.path.exists(path):
+            continue
+        log_line(f"=== {name} ===")
+        stats = score_vcf_by_type(path, test_genome["variants"])
+        print_score_table(stats, log_line)
     log_line(f"OUTPUT: {base}")
 
 
