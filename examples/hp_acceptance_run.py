@@ -5,7 +5,12 @@ through the real call_variant --use_hp_info path and score per variant
 type. Mirrors examples/acceptance_run.py for the reference's HP flow
 (region_summary_hp.cpp + ImageGenerationUI --use_hp_info).
 
-  python examples/hp_acceptance_run.py [genome_mb] [threads]
+  python examples/hp_acceptance_run.py [genome_mb] [threads] \
+      [error_model] [coverage]
+
+error_model: "uniform" (default), "ont", or "ont_str"; coverage scales
+the simulated read strides (36x default) — the chr-scale HP harness
+(VERDICT r4 task 7).
 """
 
 import os
@@ -27,6 +32,10 @@ from simulate import build_mixed_genome, score_vcf_by_type  # noqa: E402
 def main():
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else (os.cpu_count() or 8)
+    error_model = sys.argv[3] if len(sys.argv) > 3 else "uniform"
+    coverage = float(sys.argv[4]) if len(sys.argv) > 4 else 36.0
+    scale = 36.0 / coverage
+    strides = (int(160 * scale), int(160 * scale), int(550 * scale))
 
     from pepper_tpu.models.checkpoint import load_params
     from pepper_tpu.models.transducer import TransducerConfig
@@ -40,12 +49,15 @@ def main():
     base = tempfile.mkdtemp(prefix="pepper_hp_acceptance_")
     with StageTimer("SIMULATE TRAIN GENOME (0.5 Mb, haplotagged)"):
         train_genome = build_mixed_genome(base, "train", 500_000, 1500,
-                                          2500, 11)
+                                          2500, 11, strides=strides,
+                                          error_model=error_model)
     with StageTimer("SIMULATE TEST GENOME (haplotagged)"):
         test_genome = build_mixed_genome(base, "test",
                                          int(genome_mb * 1_000_000),
                                          int(genome_mb * 700),
-                                         int(genome_mb * 1000), 22)
+                                         int(genome_mb * 1000), 22,
+                                         strides=strides,
+                                         error_model=error_model)
 
     train_options = set_parameters(PepperOptions(
         bam=train_genome["bam"], fasta=train_genome["fasta"],
