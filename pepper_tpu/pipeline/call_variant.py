@@ -237,6 +237,13 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
         predictions.extend
     total_windows = 0
     pending = []
+    # overlap audit (the reference's wall-clock observable contract,
+    # docs/usage/speed_and_accuracy.md:11-31): device time = main thread
+    # inside predict_fn; host-wait = main thread blocked on window
+    # futures; the residual is overlapped host work
+    stream_start = time.time()
+    device_time = 0.0
+    wait_time = 0.0
     # device-pileup streams RegionPackages (one per region), so the drain
     # unit is a region batch rather than a window batch
     device_mode = (getattr(options, "device_pileup", False)
@@ -245,11 +252,14 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
                   if device_mode else options.batch_size)
 
     def drain(final=False):
-        nonlocal pending
+        nonlocal pending, device_time
         while len(pending) >= chunk_size or (final and pending):
             chunk = pending[:chunk_size]
             pending = pending[chunk_size:]
-            sink(predict_fn(chunk))
+            t0 = time.time()
+            out = predict_fn(chunk)
+            device_time += time.time() - t0
+            sink(out)
 
     def count_windows(items):
         if device_mode:  # RegionPackage stream
@@ -279,7 +289,9 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
                 for interval in intervals
             ]
             for future in concurrent.futures.as_completed(futures):
+                t0 = time.time()
                 windows = future.result()
+                wait_time += time.time() - t0
                 if windows:
                     total_windows += count_windows(windows)
                     pending.extend(windows)
@@ -288,6 +300,11 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
             if own_pool is not None:
                 own_pool.shutdown()
     drain(final=True)
+    wall = time.time() - stream_start
+    log_info(f"STREAM OVERLAP: wall {wall:.1f}s, device {device_time:.1f}s "
+             f"({100 * device_time / max(1e-9, wall):.0f}%), "
+             f"window-wait {wait_time:.1f}s "
+             f"({100 * wait_time / max(1e-9, wall):.0f}%)")
     return predictions, total_windows
 
 
