@@ -368,8 +368,9 @@ def bench_consensus(num_devices: int, batch: int = 512,
                                              consensus_scan_static)
     from pepper_tpu.utils.profiling import log_line
 
-    static = dtype == "static"
-    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    static = dtype.startswith("static")
+    compute_dtype = (jnp.bfloat16 if dtype in ("bfloat16", "static_bf16")
+                     else jnp.float32)
     mesh = local_mesh(num_devices)
     params = init_polish_params(jax.random.PRNGKey(0))
     scan_fn = consensus_scan
