@@ -102,28 +102,58 @@ class InferenceRunner:
                                               padded)
         return self._family_infer(self.params, padded, self.compute_dtype)
 
+    def _upload_dtype(self, images: np.ndarray):
+        """int8 window images ship to the device as int8 (4x less
+        host->device traffic — the dominant cost on remote-attached
+        accelerators) and are cast to the compute dtype ON device; the
+        cast is bit-identical to the old host-side float32 upcast because
+        every clamped image value (|v| <= 125) is exact in bfloat16.  All
+        lstm-family infer paths cast the input inside jit; other families
+        keep the float32 host path."""
+        if self.model_type == "lstm" and images.dtype == np.int8:
+            return np.int8
+        return np.float32
+
+    def _pad_batch(self, chunk: np.ndarray, dtype) -> np.ndarray:
+        padded = np.zeros((self.batch_size, self.window, self.features),
+                          dtype)
+        padded[:len(chunk)] = chunk
+        return padded
+
     def predict_images(self, images: np.ndarray) -> np.ndarray:
         """(N, window, features) -> (N, 3) float probabilities; pads the
         batch to a fixed shape so jit compiles once."""
         n = len(images)
         if n == 0:
             return np.zeros((0, 3), np.float32)
+        dtype = self._upload_dtype(images)
         probs_out = np.zeros((n, 3), np.float32)
         for start in range(0, n, self.batch_size):
             chunk = images[start:start + self.batch_size]
-            padded = np.zeros((self.batch_size, self.window, self.features),
-                              np.float32)
-            padded[:len(chunk)] = chunk
-            probs = np.asarray(self._forward(padded))
+            probs = np.asarray(self._forward(self._pad_batch(chunk, dtype)))
             probs_out[start:start + len(chunk)] = probs[:len(chunk)]
         return probs_out
 
-    def predict(self, windows) -> list[CandidatePrediction]:
-        """CandidateWindow list -> CandidatePrediction list."""
+    def dispatch(self, windows):
+        """Upload + asynchronously dispatch ONE window batch; resolve()
+        fetches the probabilities.  The split lets the streaming pipeline
+        overlap batch k's device round-trip with host window generation
+        and the upload of batch k+1 (jax dispatch is async; only the
+        resolve-side host fetch blocks)."""
         if not windows:
-            return []
-        images = np.stack([w.image for w in windows]).astype(np.float32)
-        probs = self.predict_images(images)
+            return (None, windows, np.zeros((0, 3), np.float32))
+        images = np.stack([w.image for w in windows])
+        if len(images) > self.batch_size:
+            # oversized chunk: fall back to the synchronous multi-batch loop
+            return (None, windows, self.predict_images(images))
+        dev = self._forward(
+            self._pad_batch(images, self._upload_dtype(images)))
+        return (dev, windows, None)
+
+    def resolve(self, handle) -> list[CandidatePrediction]:
+        dev, windows, probs = handle
+        if probs is None:
+            probs = np.asarray(dev)
         return [
             CandidatePrediction(
                 contig=w.contig, position=w.position, depth=w.depth,
@@ -132,6 +162,12 @@ class InferenceRunner:
                 prediction_base=probs[i])
             for i, w in enumerate(windows)
         ]
+
+    def predict(self, windows) -> list[CandidatePrediction]:
+        """CandidateWindow list -> CandidatePrediction list."""
+        if not windows:
+            return []
+        return self.resolve(self.dispatch(windows))
 
 
 def fake_predict(windows) -> list[CandidatePrediction]:

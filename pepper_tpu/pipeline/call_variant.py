@@ -250,16 +250,35 @@ def _stream_predictions(options, intervals, bed_list, predict_fn,
                    and not options.dry and not options.use_hp_info)
     chunk_size = (getattr(options, "device_region_batch", 32)
                   if device_mode else options.batch_size)
+    # 1-deep dispatch pipeline: when the backend exposes dispatch/resolve
+    # (InferenceRunner), batch k+1 is uploaded + dispatched BEFORE batch
+    # k's probabilities are fetched, so the host->device upload and the
+    # device compute of consecutive batches overlap (jax dispatch is
+    # async; the fetch is the only barrier).  Stream order is preserved —
+    # the sink still receives batches in dispatch order.
+    runner_obj = getattr(predict_fn, "__self__", None)
+    can_pipeline = callable(getattr(runner_obj, "dispatch", None))
+    inflight = None
 
     def drain(final=False):
-        nonlocal pending, device_time
+        nonlocal pending, device_time, inflight
         while len(pending) >= chunk_size or (final and pending):
             chunk = pending[:chunk_size]
             pending = pending[chunk_size:]
             t0 = time.time()
-            out = predict_fn(chunk)
+            if can_pipeline:
+                handle = runner_obj.dispatch(chunk)
+                if inflight is not None:
+                    sink(runner_obj.resolve(inflight))
+                inflight = handle
+            else:
+                sink(predict_fn(chunk))
             device_time += time.time() - t0
-            sink(out)
+        if final and inflight is not None:
+            t0 = time.time()
+            sink(runner_obj.resolve(inflight))
+            inflight = None
+            device_time += time.time() - t0
 
     def count_windows(items):
         if device_mode:  # RegionPackage stream
