@@ -58,7 +58,7 @@ def _add_image_args(parser):
 
 
 def _add_inference_args(parser):
-    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--batch_size", type=int, default=4096)
     parser.add_argument("--num_workers", type=int, default=0)
     parser.add_argument("--dry", action="store_true", default=False,
                         help="Label-passthrough backend (pipeline test).")

@@ -114,9 +114,24 @@ class InferenceRunner:
             return np.int8
         return np.float32
 
+    def _bucket(self, n: int) -> int:
+        """Pad size for an n-window chunk: the next power of two (floor
+        256), capped at batch_size.  Partial batches stop shipping
+        full-size zero padding to the device (the upload is the dominant
+        cost on remote-attached accelerators) at a bounded number of
+        compiled shapes; a mesh rounds the bucket up to the device count."""
+        b = 256
+        while b < n:
+            b <<= 1
+        b = min(b, self.batch_size)
+        if self.mesh is not None:
+            nd = len(self.mesh.devices.ravel())
+            b = -(-b // nd) * nd
+        return max(b, n)
+
     def _pad_batch(self, chunk: np.ndarray, dtype) -> np.ndarray:
-        padded = np.zeros((self.batch_size, self.window, self.features),
-                          dtype)
+        padded = np.zeros((self._bucket(len(chunk)), self.window,
+                           self.features), dtype)
         padded[:len(chunk)] = chunk
         return padded
 

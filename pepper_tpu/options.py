@@ -141,8 +141,9 @@ class PepperOptions:
     # polish mode
     realignment: bool = True
 
-    # inference
-    batch_size: int = 512
+    # inference (4096 amortizes per-dispatch cost best on measured TPU
+    # serving — PERFORMANCE.md batch sweep; partial batches bucket-pad)
+    batch_size: int = 4096
     num_workers: int = 0
     dry: bool = False
     # library default float32 (bit-stable tests); the CLI's argparse

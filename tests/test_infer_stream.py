@@ -44,6 +44,29 @@ def test_int8_upload_bit_identical_to_float32():
         np.testing.assert_array_equal(p8, p32)
 
 
+def test_bucket_padding_invariance():
+    """Probabilities are independent of the padded batch size (batch rows
+    are independent through every layer), so bucket-padding partial
+    batches — which cuts the upload of trailing chunks — cannot change
+    results; and the bucket respects mesh divisibility."""
+    params = _params()
+    images = np.stack([w.image for w in _windows(10)])
+    big = InferenceRunner(params, batch_size=4096)
+    mid = InferenceRunner(params, batch_size=256)
+    # at or above the 256-row bucket floor the padded batch size does not
+    # change XLA's per-row numerics — bitwise equal
+    np.testing.assert_array_equal(big.predict_images(images),
+                                  mid.predict_images(images))
+    # tiny (test-sized) batches may see reduction-order drift; close only
+    small = InferenceRunner(params, batch_size=16)
+    np.testing.assert_allclose(big.predict_images(images),
+                               small.predict_images(images), atol=1e-5)
+    assert big._bucket(10) == 256          # floor
+    assert big._bucket(300) == 512         # next pow2
+    assert big._bucket(4000) == 4096       # capped at batch_size
+    assert small._bucket(10) == 16         # cap below floor
+
+
 def test_dispatch_resolve_matches_predict():
     """The async dispatch/resolve pair used by the streaming drain must
     return exactly what the synchronous predict() returns."""
