@@ -37,6 +37,7 @@ def test_int8_upload_bit_identical_to_float32():
     images8 = np.stack([w.image for w in _windows(13)])
     images32 = images8.astype(np.float32)
     for kwargs in ({}, {"quantized": True},
+                   {"quantized": True, "quantize_mode": "dynamic"},
                    {"compute_dtype": "bfloat16"}):
         runner = InferenceRunner(params, batch_size=8, **kwargs)
         p8 = runner.predict_images(images8)
