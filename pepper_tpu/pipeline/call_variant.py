@@ -127,17 +127,40 @@ def call_variant_sharded(options, params=None, manifest_dir=None):
     output_file = os.path.join(prediction_dir,
                                f"pepper_prediction_{process_index}.hdf")
     mode = "a" if os.path.exists(output_file) else "w"
+    # 1-deep dispatch pipeline (same as _stream_predictions): interval
+    # k's device round-trip overlaps interval k+1's window generation.
+    # Resume stays exact — an interval is only marked done after its
+    # predictions are resolved AND stored, so at most one interval is
+    # re-done after a crash.
+    runner_obj = getattr(predict_fn, "__self__", None)
+    can_pipeline = callable(getattr(runner_obj, "dispatch", None))
+    inflight = None  # (key, interval, handle)
+
     with PredictionStore(output_file, mode) as store:
+
+        def flush():
+            nonlocal inflight
+            if inflight is not None:
+                key, interval, handle = inflight
+                store.write_prediction(key, runner_obj.resolve(handle))
+                manifest.mark_done(interval)
+                inflight = None
+
         for contig, start, end in pending:
             windows = create_region_summary(options, bam_handler,
                                             fasta_handler, contig, start,
                                             end, bed_list)
-            if windows:
-                predictions = predict_fn(windows)
-                # interval-derived batch key so resumed runs never collide
-                store.write_prediction(f"{contig}_{start}_{end}",
-                                       predictions)
-            manifest.mark_done((contig, start, end))
+            # interval-derived batch key so resumed runs never collide
+            key = f"{contig}_{start}_{end}"
+            if windows and can_pipeline:
+                handle = runner_obj.dispatch(windows)
+                flush()
+                inflight = (key, (contig, start, end), handle)
+            else:
+                if windows:
+                    store.write_prediction(key, predict_fn(windows))
+                manifest.mark_done((contig, start, end))
+        flush()
 
     barrier("predictions-complete")
     if process_index == 0:

@@ -88,3 +88,66 @@ def test_sharded_call_variant_with_resume(tmp_path):
         positions = [int(line.split("\t")[1]) - 1 for line in f
                      if not line.startswith("#")]
     assert 600 in positions
+
+
+def test_sharded_pipelined_runner_matches_plain(tmp_path):
+    """Non-dry sharded path (real InferenceRunner, 1-deep interval
+    dispatch pipeline, deferred mark_done) calls the same variants as the
+    plain streamed call_variant on the same scene and model."""
+    import gzip as _gzip
+
+    import jax
+
+    from simulate import random_reference, simulate_reads
+    from pepper_tpu.io.bam_writer import write_bam, write_fasta
+    from pepper_tpu.models.transducer import (TransducerConfig,
+                                              init_transducer_params)
+    from pepper_tpu.options import PepperOptions
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.parallel.dist import RegionManifest
+    from pepper_tpu.pipeline.call_variant import (call_variant,
+                                                  call_variant_sharded)
+
+    ref = random_reference(3000, seed=7)
+    variants = []
+    for pos in (400, 1300, 2200):
+        alt = {"A": "T", "T": "A", "C": "G", "G": "C"}[ref[pos]]
+        variants.append((pos, ref[pos], alt))
+    records = simulate_reads(ref, [variants, []], read_len=300, stride=20)
+    bam = str(tmp_path / "s.bam")
+    fasta = str(tmp_path / "r.fa")
+    write_bam(bam, [("chr6", len(ref))], records)
+    write_fasta(fasta, {"chr6": ref})
+
+    params = init_transducer_params(jax.random.PRNGKey(3),
+                                    TransducerConfig())
+
+    def read_calls(out_dir):
+        path = os.path.join(out_dir, "PEPPER_VARIANT_FULL.vcf.gz")
+        calls = []
+        with _gzip.open(path, "rt") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                fields = line.rstrip("\n").split("\t")
+                gt = fields[9].split(":")[0]
+                calls.append((fields[0], fields[1], fields[3], fields[4],
+                              gt))
+        return calls
+
+    def opts(out):
+        return set_parameters(PepperOptions(
+            bam=bam, fasta=fasta, output_dir=str(out), threads=1,
+            ont_r9_guppy5_sup=True, sub_command="call_variant",
+            region="chr6", region_size=1000))
+
+    call_variant(opts(tmp_path / "plain"), params=params)
+    call_variant_sharded(opts(tmp_path / "sharded"), params=params)
+
+    plain = read_calls(str(tmp_path / "plain"))
+    sharded = read_calls(str(tmp_path / "sharded"))
+    assert plain == sharded
+    assert len(plain) > 0
+    manifest = RegionManifest(
+        os.path.join(str(tmp_path / "sharded"), "manifest"))
+    assert manifest.pending() == []
