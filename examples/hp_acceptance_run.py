@@ -84,7 +84,7 @@ def main():
         bam=test_genome["bam"], fasta=test_genome["fasta"],
         output_dir=os.path.join(base, "calls"), ont_r9_guppy5_sup=True,
         sub_command="call_variant", region="chrA", threads=threads,
-        batch_size=2048, use_hp_info=True))
+        batch_size=16384, use_hp_info=True))
     with StageTimer("CALL_VARIANT --use_hp_info (full pipeline)"):
         call_variant(call_options, params=params)
 
